@@ -1,0 +1,76 @@
+"""Engine configuration (frozen) — the canonical shingle/signature config.
+
+Values mirror the reference's hard-coded envelope constants where one exists
+(cited), plus the dedup config the recall >= 0.99 gate runs at
+(BASELINE.md section B).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / signatures (BASELINE.md section B canonical config) ---
+    shingle_w: int = 5          # word-shingle width
+    minhash_k: int = 128        # number of MinHash permutations
+    lsh_bands: int = 16         # b
+    lsh_rows: int = 8           # r  (b*r must == minhash_k)
+    jaccard_tau: float = 0.8    # verification threshold
+    simhash_bits: int = 64
+    simhash_hamming: int = 3    # near-dup iff hamming distance <= 3
+    simhash_blocks: int = 4     # pigeonhole blocks (4 x 16-bit keys)
+    seed: int = 42
+
+    # --- containment (suffix-array pass) ---
+    containment_k: int = 24      # anchor k-gram length (tokens: 8-token keys)
+    containment_anchor_tokens: int = 8
+    containment_min_tokens: int = 16
+    containment_tau: float = 0.8  # fraction of A's shingles inside B
+
+    # --- skew / scale guards ---
+    max_bucket_size: int = 200   # LSH bucket cap: larger buckets are salted/cut
+    mega_domain_threshold: int = 10_000  # per-domain row count before salting
+    mega_domain_salts: int = 32
+
+    # --- reference envelope constants (kept for the politeness mirror) ---
+    # administrator.go:28 / administrator_helpers.go:64-73
+    domain_visit_cap: int = 100
+    domain_visit_cap_bonus: int = 200   # .org / .edu / .ac.uk
+    # fetcher.go:29
+    max_body_bytes: int = 2 * 1024 * 1024
+    # administrator_helpers.go:63-73 (effective per-page link budget)
+    link_budget: int = 20
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 2_000
+    verify_mode: str = "exact"   # "exact" (shingle-set Jaccard) | "signature"
+
+    def config_hash(self) -> str:
+        """Stable hash used by the stage-resume logic (skip-if-committed)."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.minhash_k:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}x{self.lsh_rows}) "
+                f"must equal minhash_k ({self.minhash_k})"
+            )
+        if self.simhash_bits % self.simhash_blocks != 0:
+            raise ValueError("simhash_bits must divide evenly into blocks")
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+# Title filter terms — extractor.go:23
+FILTER_TERMS = ("xxx", "porn", "sex", "onlyfans", "gore", "hentai")
+
+# Social domain allowlist — extractor.go:16-22
+SOCIAL_DOMAINS = frozenset(
+    {"facebook.com", "twitter.com", "x.com", "instagram.com", "linkedin.com"}
+)
