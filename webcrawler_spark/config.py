@@ -25,11 +25,12 @@ class DedupConfig:
     simhash_blocks: int = 4     # pigeonhole blocks (4 x 16-bit keys)
     seed: int = 42
 
-    # --- containment (suffix-array pass) ---
-    containment_k: int = 24      # anchor k-gram length (tokens: 8-token keys)
-    containment_anchor_tokens: int = 8
-    containment_min_tokens: int = 16
-    containment_tau: float = 0.8  # fraction of A's shingles inside B
+    # --- containment (anchor-sampled substring pass, SURVEY B8) ---
+    # a shingle is an "anchor" iff hash % anchor_mod == 0; both docs of a
+    # containment pair sample the same anchors deterministically, so any
+    # shared-shingle mass >= tau implies shared anchors w.h.p.
+    anchor_mod: int = 8
+    containment_tau: float = 0.8  # fraction of the smaller doc's shingles in the larger
 
     # --- skew / scale guards ---
     max_bucket_size: int = 200   # LSH bucket cap: larger buckets are salted/cut
