@@ -1,0 +1,189 @@
+"""Distributed engine vs sequential oracle: exact parity (SURVEY.md 5.2-3)
+plus extraction byte-identity on Spark and union-find correctness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import DedupConfig
+from webcrawler_spark.operators.components import assign_clusters, connected_components
+from webcrawler_spark.operators.lsh import (
+    anchor_candidates,
+    build_edges,
+    lsh_candidates,
+    simhash_candidates,
+)
+from webcrawler_spark.operators.oracle import run_oracle
+from webcrawler_spark.operators.signatures import compute_signatures
+from webcrawler_spark.sources.corpus import english_docs, generate_corpus, write_parquet
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_parquet(corpus, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    return run_oracle(english_docs(corpus))
+
+
+@pytest.fixture(scope="module")
+def sigs(spark, corpus):
+    docs = spark.createDataFrame(
+        english_docs(corpus), "doc_id long, text string"
+    )
+    return compute_signatures(docs, CFG).cache()
+
+
+def _pairs(df):
+    return {(r["a"], r["b"]) for r in df.collect()}
+
+
+def test_signatures_match_oracle(sigs, oracle_result):
+    rows = sigs.collect()
+    assert len(rows) == len(oracle_result.signatures)
+    import numpy as np
+
+    for r in rows:
+        want_sig = oracle_result.signatures[r["doc_id"]]
+        got = np.array(r["minhash"], dtype=np.int64).view(np.uint64)
+        assert (got == want_sig).all(), f"minhash mismatch doc {r['doc_id']}"
+        want_fp = oracle_result.simhashes[r["doc_id"]]
+        assert (r["simhash"] & 0xFFFFFFFFFFFFFFFF) == want_fp
+        want_sh = oracle_result.shingle_sets[r["doc_id"]]
+        got_sh = np.array(r["shingles"], dtype=np.int64).view(np.uint64)
+        assert set(got_sh.tolist()) == set(want_sh.tolist())
+
+
+def test_candidates_match_oracle(sigs, oracle_result):
+    assert _pairs(lsh_candidates(sigs, CFG)) == oracle_result.lsh_candidates
+    assert _pairs(anchor_candidates(sigs, CFG)) == oracle_result.anchor_candidates
+    assert _pairs(simhash_candidates(sigs, CFG)) == oracle_result.simhash_candidates
+
+
+def test_edges_match_oracle(sigs, oracle_result):
+    edges = build_edges(sigs, CFG).cache()
+    got = _pairs(edges.select("a", "b").distinct())
+    assert got == oracle_result.all_pairs
+    by_kind = {
+        r["kind"]: r["n"]
+        for r in edges.groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_kind.get("exact", 0) == len(oracle_result.exact_pairs)
+    assert by_kind.get("near", 0) == len(oracle_result.near_dup_pairs)
+    assert by_kind.get("simhash", 0) == len(oracle_result.simhash_pairs)
+    assert by_kind.get("containment", 0) == len(oracle_result.containment_pairs)
+
+
+def test_clusters_match_oracle(spark, sigs, oracle_result, corpus):
+    docs = spark.createDataFrame(english_docs(corpus), "doc_id long, text string")
+    edges = build_edges(sigs, CFG)
+    assigned = assign_clusters(docs, edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got == oracle_result.clusters
+
+
+def test_recall_gate_spark(sigs, corpus):
+    """BASELINE.md: dup-pair recall >= 0.99 against planted ground truth."""
+    edges = build_edges(sigs, CFG)
+    detected = _pairs(edges.select("a", "b").distinct())
+    truth = {(a, b) for a, b, _ in corpus.truth_pairs}
+    recall = len(truth & detected) / len(truth)
+    assert recall >= 0.99, f"recall={recall}"
+
+
+def test_extraction_byte_identity_on_spark(spark, corpus_dir, corpus):
+    """The engine-extracted text must equal the corpus golden text
+    byte-for-byte for every kept row (input_hint per-row invariant)."""
+    from webcrawler_spark.extract.spark_extract import extract_pages, good_pages
+
+    web = spark.read.parquet(f"{corpus_dir}/web_pages.parquet")
+    pages = good_pages(extract_pages(web)).select("url", "text")
+    golden = web.select("url", F.col("text").alias("golden"), "lang")
+    joined = pages.join(golden, "url").cache()
+    n_en = sum(1 for r in corpus.rows if r["lang"] == "en")
+    assert joined.count() == n_en
+    mism = joined.filter(F.col("text") != F.col("golden")).count()
+    assert mism == 0
+
+
+def test_connected_components_vs_dsu(spark):
+    """Pathological graphs: long chain, star, two blobs + bridge, random."""
+    import random
+
+    rnd = random.Random(7)
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 200)]  # chain
+    edges += [(1000, v) for v in range(1001, 1050)]  # star
+    blob_a = [(rnd.randrange(2000, 2050), rnd.randrange(2000, 2050)) for _ in range(200)]
+    blob_b = [(rnd.randrange(3000, 3050), rnd.randrange(3000, 3050)) for _ in range(200)]
+    edges += blob_a + blob_b + [(2049, 3000)]  # bridge merges the blobs
+    edges += [(rnd.randrange(0, 5000), rnd.randrange(0, 5000)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # DSU ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for x in parent:
+        want[x] = find(x)
+    # normalize to min member
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for x, r in want.items():
+        groups[r].append(x)
+    for r, ids in groups.items():
+        m = min(ids)
+        for x in ids:
+            want[x] = m
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_pipeline_end_to_end_and_resume(spark, corpus_dir, corpus, tmp_path):
+    from webcrawler_spark.plans.pipeline import run_pipeline
+
+    wh = str(tmp_path / "wh")
+    out = run_pipeline(spark, f"{corpus_dir}/web_pages.parquet", wh)
+    got = {r["doc_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    oracle = run_oracle(english_docs(corpus))
+    assert got == oracle.clusters
+
+    # resume: delete the clusters stage only; re-run must skip the earlier
+    # stages (manifests intact) and rebuild identical clusters
+    import shutil, os, json
+
+    shutil.rmtree(os.path.join(wh, "_stages", "clusters"))
+    sig_manifest = os.path.join(wh, "_stages", "signatures", "_MANIFEST.json")
+    before = json.load(open(sig_manifest))
+    out2 = run_pipeline(spark, f"{corpus_dir}/web_pages.parquet", wh)
+    after = json.load(open(sig_manifest))
+    assert before["committed_at"] == after["committed_at"], "signatures stage re-ran"
+    got2 = {r["doc_id"]: r["cluster_id"] for r in out2["clusters"].collect()}
+    assert got2 == got

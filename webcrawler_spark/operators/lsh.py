@@ -1,0 +1,149 @@
+"""Candidate generation + verification (SURVEY.md B4/B5/B6/B7/B8).
+
+All relational, all JVM-side (whole-stage codegen; zero Python):
+
+- buckets from exploded band hashes / anchor shingles / simhash block keys;
+- deterministic oversize-bucket cap: row_number over (key ORDER BY doc_id)
+  <= cfg.max_bucket_size — the degenerate-boilerplate guard (the dedup-side
+  twin of the reference's mega-domain serialization, rate_limiter.go:14-20);
+  capping via window avoids collect_list memory blowups on hot buckets;
+- candidate pairs by capped equi-self-join (a < b), AQE skew-join handles
+  residual key skew;
+- verify via size(array_intersect(...)) on the distinct-shingle arrays =>
+  exact Jaccard and containment, matching the oracle bit-for-bit;
+- SimHash verify via bit_count(a ^ b) <= hamming (Spark >= 3.5 built-in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import DedupConfig, DEFAULT_CONFIG
+
+
+def _capped_pairs(buckets: DataFrame, cap: int) -> DataFrame:
+    """buckets(key, doc_id) -> distinct candidate pairs (a < b), keeping only
+    the first `cap` doc_ids per key (deterministic, matches the oracle)."""
+    w = Window.partitionBy("key").orderBy("doc_id")
+    capped = (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a = capped.select(F.col("key"), F.col("doc_id").alias("a"))
+    b = capped.select(F.col("key"), F.col("doc_id").alias("b"))
+    return (
+        a.join(b, "key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """B4/B5: band-hash buckets (band index baked into the hash seed)."""
+    buckets = sigs.select(
+        F.explode("bands").alias("key"), F.col("doc_id")
+    )
+    return _capped_pairs(buckets, cfg.max_bucket_size)
+
+
+def anchor_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """B8 candidates: docs sharing any anchor shingle (hash % mod == 0)."""
+    buckets = sigs.select(F.explode("anchors").alias("key"), F.col("doc_id"))
+    return _capped_pairs(buckets, cfg.max_bucket_size)
+
+
+def simhash_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """B7 pigeonhole: <=3 differing bits over 4 blocks => >=1 identical block."""
+    buckets = sigs.filter(F.col("n_shingles") > 0).select(
+        F.explode("sim_blocks").alias("key"), F.col("doc_id")
+    )
+    return _capped_pairs(buckets, cfg.max_bucket_size)
+
+
+def verify_candidates(
+    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """B6: exact shingle-set Jaccard + containment for candidate pairs.
+
+    Joins the (distinct) shingle arrays onto each side, then JVM-side
+    array_intersect — no Arrow round-trip. Output:
+    (a, b, inter, jaccard, containment).
+    """
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .withColumn("containment", F.col("inter") / F.least("na", "nb"))
+        .select("a", "b", "inter", "jaccard", "containment")
+    )
+
+
+def exact_edges(sigs: DataFrame) -> DataFrame:
+    """B1: sha256 groups -> (min_id, other) edges."""
+    w = Window.partitionBy("sha256")
+    return (
+        sigs.select("sha256", "doc_id")
+        .withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(
+            F.col("root").alias("a"),
+            F.col("doc_id").alias("b"),
+            F.lit("exact").alias("kind"),
+        )
+    )
+
+
+def simhash_edges(
+    pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """B7 verify: Hamming distance over the 64-bit fingerprints."""
+    fa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fp_a"))
+    fb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fp_b"))
+    return (
+        pairs.join(fa, "a")
+        .join(fb, "b")
+        .filter(F.expr("bit_count(fp_a ^ fp_b)") <= cfg.simhash_hamming)
+        .select("a", "b", F.lit("simhash").alias("kind"))
+    )
+
+
+def build_edges(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """B9: union of exact, verified near-dup, containment, simhash edges.
+
+    Jaccard/containment verification runs ONCE over the union of LSH and
+    anchor candidates (a pair found by either generator qualifies through
+    either metric — same rule as the oracle).
+    """
+    cand = lsh_candidates(sigs, cfg).unionByName(anchor_candidates(sigs, cfg)).distinct()
+    verified = verify_candidates(cand, sigs, cfg)
+    near = verified.filter(F.col("jaccard") >= cfg.jaccard_tau).select(
+        "a", "b", F.lit("near").alias("kind")
+    )
+    contain = verified.filter(F.col("containment") >= cfg.containment_tau).select(
+        "a", "b", F.lit("containment").alias("kind")
+    )
+    sim = simhash_edges(simhash_candidates(sigs, cfg), sigs, cfg)
+    return (
+        exact_edges(sigs)
+        .unionByName(near)
+        .unionByName(contain)
+        .unionByName(sim)
+    )

@@ -1,0 +1,107 @@
+"""Signature stage (SURVEY.md B1/B2/B3/B7 fused): one Arrow pass over text.
+
+(doc_id, text) -> sha256, token/shingle counts, 128-perm MinHash signature,
+LSH band hashes, 64-bit shingle-SimHash + its pigeonhole block keys, and
+anchor shingles (hash % anchor_mod == 0) for the containment pass. The full
+distinct-shingle set is carried only when cfg.verify_mode == "exact"
+(dropped at extreme scale in favor of signature-estimated Jaccard).
+
+All heavy math is vectorized numpy from ``operators.hashing`` — identical
+bits to the sequential oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from webcrawler_spark.config import DedupConfig, DEFAULT_CONFIG
+from webcrawler_spark.functions.textnorm import tokenize
+from webcrawler_spark.operators import hashing as H
+
+SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_shingles", T.IntegerType()),
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+        T.StructField("sim_blocks", T.ArrayType(T.LongType())),
+        T.StructField("anchors", T.ArrayType(T.LongType())),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _sim_block_keys(fp: int, cfg: DedupConfig) -> list[int]:
+    block_bits = cfg.simhash_bits // cfg.simhash_blocks
+    mask = (1 << block_bits) - 1
+    # key packs (block index, block bits) so one join column suffices;
+    # fits comfortably in int64 (block_bits + log2(blocks) bits)
+    return [
+        (blk << block_bits) | ((fp >> (blk * block_bits)) & mask)
+        for blk in range(cfg.simhash_blocks)
+    ]
+
+
+def compute_signatures(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """docs must have columns (doc_id: long, text: string)."""
+    keep_shingles = cfg.verify_mode == "exact"
+    seeds = H.perm_seeds(cfg.minhash_k, cfg.seed)
+    w = cfg.shingle_w
+    bands, rows_per_band, seed = cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+    anchor_mod = np.uint64(cfg.anchor_mod)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sha256": [None] * n,
+                "n_tokens": np.zeros(n, dtype="int32"),
+                "n_shingles": np.zeros(n, dtype="int32"),
+                "minhash": [None] * n,
+                "bands": [None] * n,
+                "simhash": np.zeros(n, dtype="int64"),
+                "sim_blocks": [None] * n,
+                "anchors": [None] * n,
+                "shingles": [None] * n,
+            }
+            for i, text in enumerate(pdf["text"]):
+                text = text or ""
+                out["sha256"][i] = hashlib.sha256(text.encode("utf-8")).hexdigest()
+                toks = tokenize(text)
+                out["n_tokens"][i] = len(toks)
+                th = H.token_hashes(toks, cache)
+                sh = H.shingle_hashes(th, w)
+                out["n_shingles"][i] = len(sh)
+                sig = H.minhash_signature(sh, seeds)
+                out["minhash"][i] = H.signed(sig).tolist()
+                if len(sh) > 0:
+                    bh = H.band_hashes(sig, bands, rows_per_band, seed)
+                    out["bands"][i] = H.signed(bh).tolist()
+                    fp = H.simhash64(sh)
+                    out["simhash"][i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+                    out["sim_blocks"][i] = _sim_block_keys(fp, cfg)
+                    out["anchors"][i] = H.signed(
+                        sh[sh % anchor_mod == np.uint64(0)]
+                    ).tolist()
+                else:
+                    out["bands"][i] = []
+                    out["sim_blocks"][i] = []
+                    out["anchors"][i] = []
+                out["shingles"][i] = H.signed(sh).tolist() if keep_shingles else []
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=SIGNATURE_SCHEMA)

@@ -1,0 +1,156 @@
+"""End-to-end dedup pipeline (SURVEY.md section 3.1 Spark re-expression).
+
+scan web_pages -> salted repartition-by-domain (B13, politeness mirror)
+-> extract (F7 Arrow UDF, gates F1/F2/F4/F5 as error rows)
+-> signatures (B1/B2/B3/B7 fused) -> candidates (B4/B5/B7/B8)
+-> verify (B6) -> edges (B9) -> connected components (B10)
+-> cluster assignments (B11)
+
+Every stage commits to the warehouse via ``Storage`` (idempotent resume:
+committed stages with a matching config hash are skipped), with row-count
+and partition-skew metrics appended per stage.
+
+Run as a module for the spark-submit surface:
+    python -m webcrawler_spark.plans.pipeline --input DIR --warehouse DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import DEFAULT_CONFIG, DedupConfig
+from webcrawler_spark.extract.spark_extract import extract_pages, good_pages
+from webcrawler_spark.io import Storage
+from webcrawler_spark.operators.components import assign_clusters
+from webcrawler_spark.operators.lsh import build_edges
+from webcrawler_spark.operators.signatures import compute_signatures
+
+
+def domain_expr(url_col: str = "url"):
+    """JVM-side domain (F11 analog for partitioning; the Go-parity domain is
+    computed inside the extract UDF). parse_url HOST minus leading www."""
+    return F.regexp_replace(
+        F.parse_url(F.col(url_col), F.lit("HOST")), r"^www\.", ""
+    )
+
+
+def salted_repartition_by_domain(
+    df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
+) -> DataFrame:
+    """B13: the politeness/frontier mirror. Partition by domain so each
+    domain's pages co-locate (per-domain semantics, rate_limiter.go:49-50),
+    salting mega-domains (> threshold rows) across cfg.mega_domain_salts
+    partitions so one hot domain cannot serialize a stage — the fix for the
+    reference's head-of-line blocking on a hot domain's mutex."""
+    dom = df.withColumn("_domain", domain_expr())
+    counts = dom.groupBy("_domain").count()
+    mega = counts.filter(F.col("count") > cfg.mega_domain_threshold).select(
+        "_domain", F.lit(True).alias("_is_mega")
+    )
+    salted = (
+        dom.join(F.broadcast(mega), "_domain", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_mega").isNotNull(),
+                F.pmod(F.xxhash64("url"), F.lit(cfg.mega_domain_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_is_mega")
+    )
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return salted.repartition(int(parts), "_domain", "_salt").drop("_domain", "_salt")
+
+
+def with_doc_ids(docs: DataFrame) -> DataFrame:
+    """Stable doc ids: keep an input doc_id column when present, else
+    xxhash64(url) (collision odds ~n^2/2^64 — swap to a 2-column 128-bit id
+    for a true 10^12-doc deployment; noted in SURVEY section 7)."""
+    if "doc_id" in docs.columns:
+        return docs
+    return docs.withColumn("doc_id", F.xxhash64("url"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    warehouse: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    run_id: str = "run0",
+) -> dict[str, DataFrame]:
+    storage = Storage(
+        spark=spark, warehouse=warehouse, config_hash=cfg.config_hash(), run_id=run_id
+    )
+    timings: dict[str, float] = {}
+
+    def timed_stage(name: str, build) -> DataFrame:
+        t0 = time.time()
+        out = storage.stage(name, build)
+        timings[name] = time.time() - t0
+        return out
+
+    web = spark.read.parquet(input_path)
+
+    pages = timed_stage(
+        "extract",
+        lambda: extract_pages(salted_repartition_by_domain(web, cfg)),
+    )
+    gp = good_pages(pages)
+    if "doc_id" in web.columns:
+        # test corpora carry explicit ids (oracle parity); production input
+        # per input_hint does not => derive from url
+        gp = gp.join(web.select("url", "doc_id"), "url")
+    docs = with_doc_ids(gp).select("doc_id", "url", "text")
+
+    sigs = timed_stage("signatures", lambda: compute_signatures(docs, cfg))
+    storage.record_partition_skew("signatures", sigs)
+
+    edges = timed_stage("edges", lambda: build_edges(sigs, cfg))
+
+    clusters = timed_stage(
+        "clusters",
+        lambda: assign_clusters(docs, edges)
+        .join(docs.select("doc_id", "url"), "doc_id")
+        .select("doc_id", "url", "cluster_id"),
+    )
+    storage._append_metrics("pipeline", {f"secs_{k}": v for k, v in timings.items()})
+    return {"pages": pages, "signatures": sigs, "edges": edges, "clusters": clusters}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="webcrawler_spark dedup pipeline")
+    ap.add_argument("--input", required=True, help="web_pages parquet dir/file")
+    ap.add_argument("--warehouse", required=True, help="output warehouse dir")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--run-id", default="run0")
+    args = ap.parse_args()
+
+    from webcrawler_spark.session import get_spark
+
+    spark = get_spark("webcrawler-dedup", master=args.master)
+    t0 = time.time()
+    out = run_pipeline(spark, args.input, args.warehouse, run_id=args.run_id)
+    n_docs = out["signatures"].count()
+    n_edges = out["edges"].count()
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "edges": n_edges,
+                "clusters": n_clusters,
+                "wall_secs": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

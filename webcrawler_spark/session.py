@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's scale defaults.
+
+Defaults are tuned for the 100 TB design point and harmless locally:
+AQE on (runtime coalescing, skew-join splitting), Arrow batching for the
+Python stages, runtime bloom-filter join reduction (the built-in analog of
+the reference's bloom pre-filter, SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "webcrawler-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2000,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        # local mode: ~1x cores; on a real cluster this is overridden to
+        # ~2-3x total executor cores (or left to AQE coalescing from a
+        # high initial value)
+        cores = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = 32 if cores in ("*", "") else max(8, int(cores))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
