@@ -1,0 +1,848 @@
+"""Driver-contract query registry (SURVEY.md section 2 coverage).
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL runs on DuckDB over the same parquet tables; column names/aliases
+are kept identical on both sides (the driver's compare hashes values after
+sorting columns by name). Float aggregates are rounded on BOTH sides;
+timestamps are emitted as formatted strings; embedding math is quantized to
+int64 so cross-engine results are bit-identical.
+
+Rows-only entries (no SQL oracle — MinHash/SimHash/union-find are not
+SQL-expressible) are checked by pytest against the sequential oracle instead
+(tests/test_spark_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import DEFAULT_CONFIG, FILTER_TERMS
+
+_FILTER_RE = "|".join(FILTER_TERMS)
+
+# shared literals (must match SQL text below)
+_STOPWORDS = ("data", "table", "row", "query", "value", "key")
+_STOP_SQL = "('data','table','row','query','value','key')"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# A. reference-operator queries
+# --------------------------------------------------------------------------
+
+def q_lang_filter_en(spark, sf_dir):
+    """F1 (extractor.go:86-98): keep docs whose lang is missing or 'en-*'."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isNull()
+            | (F.lower(F.split(F.col("lang"), "-")[0]) == "en")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+SQL_LANG_FILTER = """
+SELECT doc_id, lang FROM documents
+WHERE lang IS NULL OR lower(split_part(lang, '-', 1)) = 'en'
+"""
+
+
+def q_title_term_filter(spark, sf_dir):
+    """F2 (extractor.go:23,330-342): ci substring kill-list, applied to text."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(~F.lower(F.col("text")).rlike(_FILTER_RE))
+        .select("doc_id")
+    )
+
+
+SQL_TITLE_TERM_FILTER = f"""
+SELECT doc_id FROM documents
+WHERE NOT regexp_matches(lower(text), '{_FILTER_RE}')
+"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """F10 (utils.go:23-33): prepend https:// when the scheme is missing."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "url_raw",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("www."), F.col("source"), F.lit(".example/p")),
+        ).otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p"))
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("url_raw").startswith("http://")
+            | F.col("url_raw").startswith("https://"),
+            F.col("url_raw"),
+        )
+        .otherwise(F.concat(F.lit("https://"), F.col("url_raw")))
+        .alias("url_full"),
+    )
+
+
+SQL_URL_NORMALIZE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'www.' || source || '.example/p'
+              ELSE 'https://' || source || '.example/p' END AS url_raw
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN url_raw LIKE 'http://%' OR url_raw LIKE 'https://%'
+            THEN url_raw ELSE 'https://' || url_raw END AS url_full
+FROM u
+"""
+
+
+def q_domain_extract(spark, sf_dir):
+    """F11 (utils.go:11-20): hostname minus leading www."""
+    docs = q_url_normalize(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_extract(F.col("url_full"), r"^(?:https?://)?([^/]+)", 1),
+            r"^www\.",
+            "",
+        ).alias("domain"),
+    )
+
+
+SQL_DOMAIN_EXTRACT = f"""
+WITH u AS ({SQL_URL_NORMALIZE})
+SELECT doc_id,
+       regexp_replace(regexp_extract(url_full, '^(?:https?://)?([^/]+)', 1),
+                      '^www\\.', '') AS domain
+FROM u
+"""
+
+
+def q_source_counts(spark, sf_dir):
+    """G1 (administrator_helpers.go:22-33): per-domain visit counts."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SQL_SOURCE_COUNTS = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_domain_visit_cap(spark, sf_dir):
+    """G2 (administrator.go:28): first 100 visits per domain (user analog),
+    ordered by time."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+SQL_DOMAIN_VISIT_CAP = """
+WITH r AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, count(*) AS n_kept FROM r WHERE rn <= 100 GROUP BY user_id
+"""
+
+
+def q_visited_anti_join(spark, sf_dir):
+    """J1/F6 (administrator.go:155-157): frontier minus visited, exactly."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_VISITED_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """J2 (rate_limiter.go:39-58): broadcast dimension joins — order volume
+    per region through customer -> nation -> region."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_event_type_allowlist(spark, sf_dir):
+    """J3 (extractor.go:16-22): static allowlist membership (constant-folded)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_EVENT_TYPE_ALLOWLIST = """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_type IN ('click','view','purchase') GROUP BY event_type
+"""
+
+
+def q_link_budget_topk(spark, sf_dir):
+    """S2 (administrator_helpers.go:63-73): per-page link budget => first 20
+    events per user by time."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+SQL_LINK_BUDGET_TOPK = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 20
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style wide aggregation (hash agg, partial+final)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-style join + agg + deterministic top-k."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-style multi-join rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """T1/G3 analog: tumbling-window counts (timestamps emitted as strings)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            )
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """T2 analog (stateful sessionization): 30-min-gap sessions per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast for unix_millis — any session-tz
+    # shift cancels in the gap delta
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("prev_ms", F.lag(ms).over(w))
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("prev_ms").isNull() | ((ms - F.col("prev_ms")) > 1_800_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return ev.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+SQL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+)
+SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2
+"""
+
+
+def q_error_rate_hourly(spark, sf_dir):
+    """conditional aggregation: per-hour error share."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.round(
+                F.count(F.when(F.col("event_type") == "error", 1)) / F.count("*"), 4
+            ).alias("error_rate"),
+        )
+    )
+
+
+SQL_ERROR_RATE_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n_total,
+       count(*) FILTER (event_type = 'error') AS n_errors,
+       round(count(*) FILTER (event_type = 'error') / count(*)::double, 4) AS error_rate
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B. dedup / training-data queries on documents + embeddings
+# --------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    """B1 (sha256 exact dedup groups)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_exact_dup_pairs(spark, sf_dir):
+    """B1 edges: identical text pairs."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("doc_id_a"), "text")
+    b = d.select(F.col("doc_id").alias("doc_id_b"), "text")
+    return (
+        a.join(b, "text")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+
+
+SQL_EXACT_DUP_PAIRS = """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def _shingle_df(spark, sf_dir):
+    """distinct word-5-gram string shingles per doc (docs with >= 5 tokens)."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    return (
+        d.filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 5),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 5)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """exact 5-gram Jaccard dedup (brute force, SQL-parity variant of B6):
+    pairs with Jaccard >= 0.8 over distinct word-5-gram sets."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(inter / (na.n_sh + nb.n_sh - inter)::double, 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_id_a
+JOIN sizes nb ON nb.doc_id = doc_id_b
+WHERE round(inter / (na.n_sh + nb.n_sh - inter)::double, 4) >= 0.8
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """text analysis: token counting (whitespace tokenizer)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """text analysis: length / avg token length / stopword ratio."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            (F.length("text") - F.size("toks") + 1) / F.size("toks"), 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter("toks", lambda t: t.isin(*_STOPWORDS))) / F.size("toks"),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(toks) AS n_tokens,
+       round((length(text) - len(toks) + 1) / len(toks)::double, 4) AS avg_token_len,
+       round(len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks)::double, 4)
+         AS stopword_ratio
+FROM t
+"""
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """text analysis: marker-token language-ID heuristic (declared 'en' when
+    >= 5% marker tokens), cross-checked against the stored lang."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    ratio = F.size(F.filter("toks", lambda t: t.isin(*_STOPWORDS))) / F.size("toks")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+SQL_LANG_ID_HEURISTIC = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks)::double >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """text analysis: md5 fingerprint + stable length (document identity)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp"), F.length("text").alias("n_chars_calc")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fp, length(text) AS n_chars_calc FROM documents
+"""
+
+
+def _quantized(col):
+    """embedding floats -> int64 milli-units: exact cross-engine arithmetic."""
+    return F.transform(col, lambda x: F.round(x * 1000).cast("long"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    """similarity search: brute-force cosine top-5 neighbors for the first 10
+    vectors (quantized int64 dot products => bit-identical across engines)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    dots = (
+        q.crossJoin(e.select(F.col("vec_id").alias("nbr_id"), F.col("q").alias("qb")))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "na",
+            F.aggregate("qa", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+        )
+        .withColumn(
+            "nb",
+            F.aggregate("qb", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+        )
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id")
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS dot,
+         list_sum(list_transform(a.qv, x -> x * x)) AS na,
+         list_sum(list_transform(b.qv, x -> x * x)) AS nb
+  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT query_id, nbr_id,
+         round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                     nbr_id) AS rank
+  FROM dots
+)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """embedding-cosine near-dup detection: all pairs with cosine >= 0.95."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qa", "qb", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            "qa", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            "qb", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= 0.95)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.qv, x -> x * x)))), 6) AS cosine
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(a.qv, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.qv, x -> x * x)))), 6) >= 0.95
+"""
+
+
+def q_extract_visible_text(spark, sf_dir):
+    """F7 driver-checked byte-identity: wrap each document's text in a page,
+    run the full extraction stage, and return the extracted text — the
+    oracle is the identity on documents."""
+    from webcrawler_spark.extract.spark_extract import extract_pages, good_pages
+
+    d = load(spark, sf_dir, "documents")
+    web = d.select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html lang="en"><head></head><body><p>'),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("doc_id"),
+    )
+    pages = good_pages(extract_pages(web.select("url", "warc_ts", "html")))
+    return (
+        pages.join(web.select("url", "doc_id"), "url")
+        .select("doc_id", "text")
+    )
+
+
+SQL_EXTRACT_VISIBLE_TEXT = """
+SELECT doc_id, text FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# C. rows-only entries (non-SQL-expressible; pytest-verified vs the
+#    sequential numpy oracle instead)
+# --------------------------------------------------------------------------
+
+def _doc_signatures(spark, sf_dir):
+    from webcrawler_spark.operators.signatures import compute_signatures
+
+    return compute_signatures(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), DEFAULT_CONFIG
+    )
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    """B2-B6: MinHash/LSH near-dup pairs (verified Jaccard >= 0.8)."""
+    from webcrawler_spark.operators.lsh import build_edges
+
+    return (
+        build_edges(_doc_signatures(spark, sf_dir), DEFAULT_CONFIG)
+        .filter(F.col("kind") == "near")
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
+    )
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """B7: 64-bit shingle-SimHash per doc."""
+    return _doc_signatures(spark, sf_dir).select("doc_id", "simhash")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """B9-B11: full dedup clusters over documents (union-find)."""
+    from webcrawler_spark.operators.components import assign_clusters
+    from webcrawler_spark.operators.lsh import build_edges
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = _doc_signatures(spark, sf_dir)
+    edges = build_edges(sigs, DEFAULT_CONFIG)
+    return assign_clusters(docs, edges).select("doc_id", "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # A. reference operators
+    "lang_filter_en": (q_lang_filter_en, SQL_LANG_FILTER),
+    "title_term_filter": (q_title_term_filter, SQL_TITLE_TERM_FILTER),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "domain_extract": (q_domain_extract, SQL_DOMAIN_EXTRACT),
+    "source_counts": (q_source_counts, SQL_SOURCE_COUNTS),
+    "domain_visit_cap": (q_domain_visit_cap, SQL_DOMAIN_VISIT_CAP),
+    "visited_anti_join": (q_visited_anti_join, SQL_VISITED_ANTI_JOIN),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "event_type_allowlist": (q_event_type_allowlist, SQL_EVENT_TYPE_ALLOWLIST),
+    "link_budget_topk": (q_link_budget_topk, SQL_LINK_BUDGET_TOPK),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "error_rate_hourly": (q_error_rate_hourly, SQL_ERROR_RATE_HOURLY),
+    # B. dedup / training-data ops
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "exact_dup_pairs": (q_exact_dup_pairs, SQL_EXACT_DUP_PAIRS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "extract_visible_text": (q_extract_visible_text, SQL_EXTRACT_VISIBLE_TEXT),
+    # C. rows-only (non-SQL-expressible)
+    "minhash_dup_pairs": (q_minhash_dup_pairs, None),
+    "simhash_fingerprints": (q_simhash_fingerprints, None),
+    "dedup_clusters": (q_dedup_clusters, None),
+}
