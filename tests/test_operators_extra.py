@@ -1,0 +1,187 @@
+"""Tests for similarity search, multimodal plumbing, substring containment,
+and the streaming variant."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-duplicates: 40+i is a tiny perturbation of i (i<5)
+    for i in range(5):
+        rows.append((40 + i, [float(x) for x in base[i] + rng.standard_normal(16) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_topk(embeddings):
+    from webcrawler_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 5), k=1
+    ).collect()
+    got = {r["query_id"]: r["nbr_id"] for r in out}
+    # nearest neighbor of each planted original is its perturbed copy
+    assert got == {i: 40 + i for i in range(5)}
+    assert all(r["cosine"] > 0.99 for r in out)
+
+
+def test_lsh_topk_finds_planted_neighbors(embeddings):
+    from webcrawler_spark.operators.similarity import lsh_topk
+
+    out = lsh_topk(embeddings, k=1, n_tables=12, n_bits=8, seed=42).collect()
+    got = {r["query_id"]: (r["nbr_id"], r["cosine"]) for r in out}
+    hits = sum(1 for i in range(5) if got.get(i, (None,))[0] == 40 + i)
+    assert hits >= 4  # approximate path: allow one miss at these settings
+    # determinism
+    out2 = lsh_topk(embeddings, k=1, n_tables=12, n_bits=8, seed=42).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_multimodal_features(spark):
+    from webcrawler_spark.operators.multimodal import extract_features, synth_assets
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 50, "s1"), (2, "", "s2"), (3, "abc", "s3")],
+        "doc_id long, text string, source string",
+    )
+    assets = synth_assets(spark, docs)
+    feats = extract_features(assets).collect()
+    by_id = {r["asset_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 600
+    assert by_id[1]["frames_sampled"] >= 1
+    assert abs(sum(by_id[1]["histogram"]) - 1.0) < 1e-5  # bins rounded to 6dp
+    assert by_id[2]["n_bytes"] == 0 and by_id[2]["byte_entropy"] == 0.0
+    assert by_id[1]["kind"] in ("image", "audio", "video")
+    # deterministic content hash
+    import hashlib
+
+    assert by_id[3]["content_hash"] == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_multimodal_codec_mode_stubbed(spark):
+    from webcrawler_spark.operators.multimodal import _decode_payload
+
+    with pytest.raises(NotImplementedError):
+        _decode_payload("image", b"\x89PNG", mode="codec")
+
+
+def test_substring_containment(spark):
+    from webcrawler_spark.operators.suffix import substring_containment
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "beta gamma delta"),  # substring of 1
+            (3, "gamma beta"),  # not a substring
+            (4, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["is_substring"], r["container"])
+        for r in substring_containment(pairs, docs).collect()
+    }
+    assert got[(1, 2)] == (True, 1)
+    assert got[(1, 3)][0] is False
+    assert got[(1, 4)][0] is False
+
+
+def test_partition_containment_pairs():
+    from webcrawler_spark.operators.hashing import token_hashes
+    from webcrawler_spark.operators.suffix import partition_containment_pairs
+
+    cache = {}
+    big = token_hashes([f"w{i}" for i in range(100)], cache)
+    inner = big[20:60].copy()
+    other = token_hashes([f"x{i}" for i in range(50)], cache)
+    pairs = partition_containment_pairs([10, 11, 12], [big, inner, other])
+    assert pairs == [(11, 10)]
+
+
+def test_substring_edges_on_corpus(spark):
+    """containment family docs are exact substrings — the anchor+substring
+    path must find them."""
+    from webcrawler_spark.operators.lsh import anchor_candidates
+    from webcrawler_spark.operators.signatures import compute_signatures
+    from webcrawler_spark.operators.suffix import substring_edges
+    from webcrawler_spark.sources.corpus import english_docs, generate_corpus
+
+    corpus = generate_corpus(200, seed=42)
+    docs = spark.createDataFrame(english_docs(corpus), "doc_id long, text string")
+    sigs = compute_signatures(docs).cache()
+    edges = {
+        (r["a"], r["b"]) for r in substring_edges(sigs, docs).collect()
+    }
+    containment_truth = {
+        (a, b) for a, b, fam in corpus.truth_pairs if fam == "containment"
+    }
+    assert containment_truth <= edges
+    # exact dups are substrings of each other too; nothing else qualifies
+    exact_truth = {(a, b) for a, b, fam in corpus.truth_pairs if fam == "exact"}
+    assert edges <= containment_truth | exact_truth
+
+
+def test_streaming_signatures(spark, tmp_path):
+    from webcrawler_spark.sources.corpus import generate_corpus, write_parquet
+    from webcrawler_spark.streaming.stream_dedup import stream_signatures
+
+    corpus = generate_corpus(80, seed=42)
+    src = tmp_path / "stream_src"
+    write_parquet(corpus, str(src))
+    # streaming file sources read directories
+    import shutil
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    shutil.copy(f"{src}/web_pages.parquet", in_dir / "part0.parquet")
+    schema = spark.read.parquet(str(in_dir)).schema
+
+    out_dir = str(tmp_path / "stream_out")
+    q = stream_signatures(
+        spark,
+        str(in_dir),
+        out_dir,
+        str(tmp_path / "ckpt"),
+        schema,
+    )
+    q.awaitTermination(120)
+    sigs = spark.read.parquet(f"{out_dir}/signatures")
+    n_en = sum(1 for r in corpus.rows if r["lang"] == "en")
+    assert sigs.count() == n_en
+    assert {"sha256", "minhash", "simhash", "is_exact_dup", "batch_id"} <= set(
+        sigs.columns
+    )
+
+
+def test_streaming_domain_counts(spark, tmp_path):
+    from webcrawler_spark.sources.corpus import generate_corpus, write_parquet
+    from webcrawler_spark.streaming.stream_dedup import stream_domain_counts
+
+    corpus = generate_corpus(60, seed=42)
+    src = tmp_path / "dc_src"
+    write_parquet(corpus, str(src))
+    import shutil
+    in_dir = tmp_path / "dc_in"
+    in_dir.mkdir()
+    shutil.copy(f"{src}/web_pages.parquet", in_dir / "part0.parquet")
+    schema = spark.read.parquet(str(in_dir)).schema
+    q = stream_domain_counts(
+        spark, str(in_dir), str(tmp_path / "dc_ckpt"), schema
+    )
+    q.awaitTermination(120)
+    got = {
+        r["domain"]: r["n_pages"]
+        for r in spark.sql("select * from domain_counts").collect()
+    }
+    from collections import Counter
+
+    want = Counter(r["url"].split("/")[2] for r in corpus.rows)
+    assert got == dict(want)

@@ -30,6 +30,11 @@ class DedupConfig:
     # containment pair sample the same anchors deterministically, so any
     # shared-shingle mass >= tau implies shared anchors w.h.p.
     anchor_mod: int = 8
+    # anchor buckets LARGER than this are dropped outright (not truncated):
+    # a shingle shared by that many docs is boilerplate and carries no
+    # containment signal, while true containment pairs also share rare
+    # anchors; truncation would keep O(cap^2) garbage pairs per stop-shingle
+    anchor_max_bucket: int = 64
     containment_tau: float = 0.8  # fraction of the smaller doc's shingles in the larger
 
     # --- skew / scale guards ---

@@ -50,11 +50,15 @@ PAGE_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], passthrough: tuple[str, ...] = ()
+) -> Iterator[pd.DataFrame]:
     from webcrawler_spark.extract.urlutil import get_domain, URLError
 
     for pdf in batches:
         out: dict[str, list] = {f.name: [] for f in PAGE_SCHEMA.fields}
+        for c in passthrough:
+            out[c] = pdf[c].tolist()
         for url, warc_ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
             pd_ = gate_and_extract(bytes(html) if html is not None else b"", url)
             try:
@@ -85,12 +89,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_pages(web_pages: DataFrame, prefilter_lang: bool = True) -> DataFrame:
-    """web_pages(url, warc_ts, html[, lang]) -> pages(PAGE_SCHEMA).
+def extract_pages(
+    web_pages: DataFrame,
+    prefilter_lang: bool = True,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """web_pages(url, warc_ts, html[, lang]) -> pages(PAGE_SCHEMA [+ passthrough]).
 
     When a trusted ``lang`` column exists, F1 runs as a pushed-down scan
     predicate first (cheap, avoids parsing non-en pages at all); the
     extractor's own <html lang> gate still applies inside the UDF.
+
+    ``passthrough`` columns (e.g. a precomputed doc_id) ride through the
+    Arrow stage so downstream stages need no join back to the input.
     """
     df = web_pages
     if prefilter_lang and "lang" in df.columns:
@@ -98,8 +109,12 @@ def extract_pages(web_pages: DataFrame, prefilter_lang: bool = True) -> DataFram
             F.col("lang").isNull()
             | (F.lower(F.split(F.col("lang"), "-")[0]) == "en")
         )
-    return df.select("url", "warc_ts", "html").mapInPandas(
-        _extract_batches, schema=PAGE_SCHEMA
+    schema = T.StructType(
+        PAGE_SCHEMA.fields
+        + [df.schema[c] for c in passthrough]
+    )
+    return df.select("url", "warc_ts", "html", *passthrough).mapInPandas(
+        lambda it: _extract_batches(it, passthrough), schema=schema
     )
 
 

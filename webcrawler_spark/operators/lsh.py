@@ -22,23 +22,43 @@ from pyspark.sql import functions as F
 from webcrawler_spark.config import DedupConfig, DEFAULT_CONFIG
 
 
+def _pairs_from_capped(capped: DataFrame) -> DataFrame:
+    """(key, doc_id) with bounded bucket sizes -> distinct (a < b) pairs.
+
+    groupBy reuses the window's hash partitioning on key (no extra
+    exchange); pair explosion is a narrow higher-order-function pass
+    (collect_list is safe: bucket size is already capped)."""
+    grouped = (
+        capped.groupBy("key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.a", "p.b").distinct()
+
+
 def _capped_pairs(buckets: DataFrame, cap: int) -> DataFrame:
     """buckets(key, doc_id) -> distinct candidate pairs (a < b), keeping only
-    the first `cap` doc_ids per key (deterministic, matches the oracle)."""
+    the `cap` smallest doc_ids per key (deterministic, matches the oracle).
+
+    The window cap (not collect-then-truncate) keeps memory bounded even for
+    degenerate buckets with 10^8 members: nothing ever materializes more
+    than `cap` ids per key."""
     w = Window.partitionBy("key").orderBy("doc_id")
     capped = (
         buckets.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cap)
         .drop("rn")
     )
-    a = capped.select(F.col("key"), F.col("doc_id").alias("a"))
-    b = capped.select(F.col("key"), F.col("doc_id").alias("b"))
-    return (
-        a.join(b, "key")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    return _pairs_from_capped(capped)
 
 
 def lsh_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -50,9 +70,21 @@ def lsh_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFr
 
 
 def anchor_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """B8 candidates: docs sharing any anchor shingle (hash % mod == 0)."""
+    """B8 candidates: docs sharing any anchor shingle (hash % mod == 0).
+
+    Oversized anchor buckets are DROPPED, not truncated: a shingle shared by
+    > anchor_max_bucket docs is boilerplate (no containment signal), and
+    truncation would still emit O(cap^2) garbage pairs per stop-shingle,
+    while genuine containment pairs are also discoverable via rare anchors.
+    """
     buckets = sigs.select(F.explode("anchors").alias("key"), F.col("doc_id"))
-    return _capped_pairs(buckets, cfg.max_bucket_size)
+    w = Window.partitionBy("key")
+    kept = (
+        buckets.withColumn("sz", F.count("*").over(w))
+        .filter(F.col("sz") <= cfg.anchor_max_bucket)
+        .drop("sz")
+    )
+    return _pairs_from_capped(kept)
 
 
 def simhash_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -138,7 +138,8 @@ def run_oracle(
         for a in sh[sh % mod == np.uint64(0)]:
             anchor_buckets[int(a)].append(doc_id)
     for ids in anchor_buckets.values():
-        if len(ids) > 1:
+        # drop oversized (boilerplate) buckets outright — see lsh.py
+        if 1 < len(set(ids)) <= cfg.anchor_max_bucket:
             res.anchor_candidates |= _capped_pairs(ids, cfg.max_bucket_size)
 
     # B7 SimHash pigeonhole blocks (token-bearing docs only)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (training-data pipeline ops).
+
+Two paths:
+
+- ``brute_force_topk``: exact cosine top-k via crossJoin + JVM-side
+  higher-order functions (zip_with/aggregate — whole-stage codegen, no
+  Python). Correctness baseline; O(n*q) — fine for moderate q.
+- ``lsh_topk``: random-hyperplane LSH (sign sketch) scale path. Vectors are
+  bucketed by b-bit hyperplane signatures over several independent tables;
+  only same-bucket pairs are scored. Planes are seeded => deterministic.
+  Recall is tunable via (n_tables, n_bits); candidates are exact-rescored,
+  so precision is 1 by construction.
+
+At 10^12 scale the bucketed join shuffles by signature key (no crossJoin
+anywhere); brute force stays available for small query sets by broadcasting
+the queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cosine_col(qa: str, qb: str):
+    """Exact cosine over two double-array columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(qa, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(qb, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, nbr_id, cosine, rank). ``queries`` is
+    broadcast (small query sets)."""
+    e = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb")
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", _cosine_col("va", "vb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, sig): sign-bit signature per hash table. Vectorized numpy
+    over Arrow batches — one matmul per batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_tbl, out_sig = [], [], []
+            for t in range(n_tables):
+                bits = (mat @ planes[t].T) > 0  # (n, n_bits)
+                sigs = bits.astype(np.int64) @ weights
+                out_ids.append(ids)
+                out_tbl.append(np.full(len(ids), t, dtype=np.int32))
+                out_sig.append(sigs)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "table": np.concatenate(out_tbl),
+                    "sig": np.concatenate(out_sig),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col)).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Approximate all-pairs top-k: bucket by hyperplane signature, score
+    only same-bucket pairs, exact-rescore, take top-k per vector."""
+    dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    sigs = hyperplane_signatures(
+        embeddings, dim, n_tables, n_bits, seed, id_col, vec_col
+    )
+    w = Window.partitionBy("table", "sig")
+    kept = (
+        sigs.withColumn("sz", F.count("*").over(w))
+        .filter(F.col("sz") <= max_bucket)
+        .drop("sz")
+    )
+    a = kept.select("table", "sig", F.col("vec_id").alias("query_id"))
+    b = kept.select("table", "sig", F.col("vec_id").alias("nbr_id"))
+    cand = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+    e = _as_double(embeddings, vec_col)
+    va = e.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
+    vb = e.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    scored = (
+        cand.join(va, "query_id")
+        .join(vb, "nbr_id")
+        .withColumn("cosine", _cosine_col("va", "vb"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

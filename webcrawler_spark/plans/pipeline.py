@@ -95,17 +95,18 @@ def run_pipeline(
         return out
 
     web = spark.read.parquet(input_path)
+    # test corpora carry explicit ids (oracle parity); production input per
+    # input_hint does not => derive from url. Either way the id rides
+    # through the Arrow extract stage — no join back to the input.
+    web = with_doc_ids(web)
 
     pages = timed_stage(
         "extract",
-        lambda: extract_pages(salted_repartition_by_domain(web, cfg)),
+        lambda: extract_pages(
+            salted_repartition_by_domain(web, cfg), passthrough=("doc_id",)
+        ),
     )
-    gp = good_pages(pages)
-    if "doc_id" in web.columns:
-        # test corpora carry explicit ids (oracle parity); production input
-        # per input_hint does not => derive from url
-        gp = gp.join(web.select("url", "doc_id"), "url")
-    docs = with_doc_ids(gp).select("doc_id", "url", "text")
+    docs = good_pages(pages).select("doc_id", "url", "text")
 
     sigs = timed_stage("signatures", lambda: compute_signatures(docs, cfg))
     storage.record_partition_skew("signatures", sigs)
@@ -128,11 +129,17 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True, help="output warehouse dir")
     ap.add_argument("--master", default=None)
     ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="fix the partition count (scaling benches use the "
+                         "same value at every parallelism level)")
     args = ap.parse_args()
 
     from webcrawler_spark.session import get_spark
 
-    spark = get_spark("webcrawler-dedup", master=args.master)
+    spark = get_spark(
+        "webcrawler-dedup", master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
     t0 = time.time()
     out = run_pipeline(spark, args.input, args.warehouse, run_id=args.run_id)
     n_docs = out["signatures"].count()

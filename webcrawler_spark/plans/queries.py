@@ -768,6 +768,111 @@ SELECT doc_id, text FROM documents
 """
 
 
+def _page_df(spark, sf_dir):
+    """Synthesized pages exercising links/headings/meta through the real
+    extraction stage (F7-F9, F12, G4): deterministic html per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("https://docs.example/p/"), F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html lang="en"><head>'),
+                F.lit('<meta property="og:site_name" content="'),
+                F.col("source"),
+                F.lit('">'),
+                F.lit('<meta property="article:published_time" '
+                      'content="2025-03-0'),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit('T12:00:00Z">'),
+                F.lit("</head><body>"),
+                F.lit("<h1>"),
+                F.col("source"),
+                F.lit(" heading</h1>"),
+                F.lit('<a href="/internal/x">in</a>'),
+                F.lit('<a href="https://ext'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('.example/y">out</a>'),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit('<a href="https://twitter.com/acct">tw</a>'),
+                ).otherwise(F.lit("")),
+                F.lit("<p>body</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+
+
+def _extracted_pages(spark, sf_dir):
+    from webcrawler_spark.extract.spark_extract import extract_pages, good_pages
+
+    web = _page_df(spark, sf_dir)
+    pages = good_pages(extract_pages(web.select("url", "warc_ts", "html")))
+    return pages.join(web.select("url", "doc_id"), "url")
+
+
+def q_link_classification(spark, sf_dir):
+    """F8/F9 (extractor.go:255-303): internal/external split + social
+    allowlist, via real extraction; oracle derives the same counts
+    relationally from the html construction rule."""
+    p = _extracted_pages(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.size("internal_links").alias("n_internal"),
+        F.size("external_links").alias("n_external"),
+        F.size("social_links").alias("n_social"),
+        F.element_at("external_links", 1).alias("first_external"),
+    )
+
+
+SQL_LINK_CLASSIFICATION = """
+SELECT doc_id,
+       1 AS n_internal,
+       CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_external,
+       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_social,
+       'https://ext' || (doc_id % 7) || '.example/y' AS first_external
+FROM documents
+"""
+
+
+def q_headings_extract(spark, sf_dir):
+    """G4 (extractor.go:354-362): headings map grouped by level."""
+    p = _extracted_pages(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.size(F.col("headings")["h1"]).alias("n_h1"),
+        F.element_at(F.col("headings")["h1"], 1).alias("h1_text"),
+    )
+
+
+SQL_HEADINGS_EXTRACT = """
+SELECT doc_id, 1 AS n_h1, source || ' heading' AS h1_text FROM documents
+"""
+
+
+def q_meta_timestamps(spark, sf_dir):
+    """F12 (extractor.go:232-252): strict RFC3339 meta timestamp parse +
+    OpenGraph map extraction."""
+    p = _extracted_pages(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        # epoch seconds: session-timezone-invariant on both engines
+        F.unix_seconds(F.col("date_published")).alias("published_epoch"),
+        F.col("open_graph")["og:site_name"].alias("og_site"),
+    )
+
+
+SQL_META_TIMESTAMPS = """
+SELECT doc_id,
+       epoch(('2025-03-0' || (doc_id % 9 + 1) || ' 12:00:00')::TIMESTAMP)::BIGINT
+         AS published_epoch,
+       source AS og_site
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # C. rows-only entries (non-SQL-expressible; pytest-verified vs the
 #    sequential numpy oracle instead)
@@ -776,9 +881,12 @@ SELECT doc_id, text FROM documents
 def _doc_signatures(spark, sf_dir):
     from webcrawler_spark.operators.signatures import compute_signatures
 
+    # cached: build_edges fans out into 5 branches (exact/lsh/anchor/simhash/
+    # verify) that would otherwise re-run the Arrow signature stage each
+    # (the pipeline path checkpoints signatures to parquet instead)
     return compute_signatures(
         load(spark, sf_dir, "documents").select("doc_id", "text"), DEFAULT_CONFIG
-    )
+    ).cache()
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
@@ -841,6 +949,9 @@ QUERIES: dict[str, tuple] = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "extract_visible_text": (q_extract_visible_text, SQL_EXTRACT_VISIBLE_TEXT),
+    "link_classification": (q_link_classification, SQL_LINK_CLASSIFICATION),
+    "headings_extract": (q_headings_extract, SQL_HEADINGS_EXTRACT),
+    "meta_timestamps": (q_meta_timestamps, SQL_META_TIMESTAMPS),
     # C. rows-only (non-SQL-expressible)
     "minhash_dup_pairs": (q_minhash_dup_pairs, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
