@@ -34,7 +34,10 @@ class DedupConfig:
     # a shingle shared by that many docs is boilerplate and carries no
     # containment signal, while true containment pairs also share rare
     # anchors; truncation would keep O(cap^2) garbage pairs per stop-shingle
-    anchor_max_bucket: int = 64
+    # (=8: ~10x candidate reduction vs 64 at 20k docs with recall still 1.0
+    # on the planted-family corpus — containment pairs share many anchors,
+    # so one globally-rare shared anchor suffices)
+    anchor_max_bucket: int = 8
     containment_tau: float = 0.8  # fraction of the smaller doc's shingles in the larger
 
     # --- skew / scale guards ---
