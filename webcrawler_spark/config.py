@@ -22,7 +22,11 @@ class DedupConfig:
     jaccard_tau: float = 0.8    # verification threshold
     simhash_bits: int = 64
     simhash_hamming: int = 3    # near-dup iff hamming distance <= 3
-    simhash_blocks: int = 4     # pigeonhole blocks (4 x 16-bit keys)
+    # Manku et al. (WWW'07) pigeonhole tables: split 64 bits into B blocks,
+    # key each table on a (B - hamming)-block combination => C(B, B-H)
+    # tables with ~32-bit keys. 16-bit single-block keys saturate at ~65k
+    # buckets (pair count O(n^2/2^16)); 3-block keys push that to 2^32.
+    simhash_blocks: int = 6
     seed: int = 42
 
     # --- containment (anchor-sampled substring pass, SURVEY B8) ---
@@ -39,6 +43,12 @@ class DedupConfig:
     # so one globally-rare shared anchor suffices)
     anchor_max_bucket: int = 8
     containment_tau: float = 0.8  # fraction of the smaller doc's shingles in the larger
+    # two-tier verify: anchor candidate pairs are pre-filtered on the
+    # containment ESTIMATE shared_kept_anchors/min(n_anchors) >= tau - margin
+    # (scalar join; no shingle arrays move) before the exact shingle-set
+    # verify. margin ~ 6 sigma of the 1/anchor_mod sampling estimator for
+    # typical docs (~75 anchors) — false-negative odds ~1e-7 per true pair.
+    anchor_est_margin: float = 0.28
 
     # --- skew / scale guards ---
     max_bucket_size: int = 200   # LSH bucket cap: larger buckets are salted/cut
@@ -70,8 +80,8 @@ class DedupConfig:
                 f"lsh_bands*lsh_rows ({self.lsh_bands}x{self.lsh_rows}) "
                 f"must equal minhash_k ({self.minhash_k})"
             )
-        if self.simhash_bits % self.simhash_blocks != 0:
-            raise ValueError("simhash_bits must divide evenly into blocks")
+        if self.simhash_blocks <= self.simhash_hamming:
+            raise ValueError("need more simhash blocks than hamming budget")
 
 
 DEFAULT_CONFIG = DedupConfig()

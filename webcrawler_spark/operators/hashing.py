@@ -148,3 +148,31 @@ def unsigned(a: np.ndarray) -> np.ndarray:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def simhash_block_keys(fp: int, n_blocks: int, hamming: int, bits: int = 64) -> list[int]:
+    """Pigeonhole table keys (Manku et al., WWW'07): split the fingerprint
+    into n_blocks near-equal blocks; for every (n_blocks - hamming)-block
+    combination emit one key packing (table index, those blocks' bits).
+    Any pair within the hamming budget shares at least one full key.
+
+    Deterministic combination order (itertools.combinations over ascending
+    block indices) — shared by engine and oracle.
+    """
+    from itertools import combinations
+
+    fp &= (1 << bits) - 1
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    blocks = []
+    off = 0
+    for w in widths:
+        blocks.append((fp >> off) & ((1 << w) - 1))
+        off += w
+    keys = []
+    keep = n_blocks - hamming
+    for t, combo in enumerate(combinations(range(n_blocks), keep)):
+        key = t
+        for b in combo:
+            key = (key << widths[b]) | blocks[b]
+        keys.append(key)
+    return keys

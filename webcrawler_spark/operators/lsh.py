@@ -69,22 +69,68 @@ def lsh_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFr
     return _capped_pairs(buckets, cfg.max_bucket_size)
 
 
+def _anchor_tier1(
+    pairs_with_shared: DataFrame, kept_counts: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Two-tier containment verify, tier 1: keep anchor pairs whose ESTIMATED
+    containment shared_kept_anchors / min(KEPT anchors) clears tau - margin.
+    The denominator counts only anchors that survived the oversized-bucket
+    drop — the estimator stays unbiased however much boilerplate the corpus
+    carries (dividing by ALL anchors collapses recall on dense corpora).
+    Scalar-only join — the expensive shingle arrays never move for the
+    (vast) rejected majority."""
+    ka = kept_counts.select(F.col("doc_id").alias("a"), F.col("n_kept").alias("kept_a"))
+    kb = kept_counts.select(F.col("doc_id").alias("b"), F.col("n_kept").alias("kept_b"))
+    thresh = cfg.containment_tau - cfg.anchor_est_margin
+    return (
+        pairs_with_shared.join(ka, "a")
+        .join(kb, "b")
+        .filter(
+            F.col("n_shared") / F.least("kept_a", "kept_b") >= F.lit(thresh)
+        )
+        .select("a", "b")
+    )
+
+
+def _kept_anchor_stream(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(key, doc_id) anchor rows surviving the oversized-bucket drop."""
+    buckets = sigs.select(F.explode("anchors").alias("key"), F.col("doc_id"))
+    w = Window.partitionBy("key")
+    return (
+        buckets.withColumn("sz", F.count("*").over(w))
+        .filter(F.col("sz") <= cfg.anchor_max_bucket)
+        .drop("sz")
+    )
+
+
 def anchor_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """B8 candidates: docs sharing any anchor shingle (hash % mod == 0).
+    """B8 candidates: docs sharing anchor shingles (hash % mod == 0).
 
     Oversized anchor buckets are DROPPED, not truncated: a shingle shared by
     > anchor_max_bucket docs is boilerplate (no containment signal), and
     truncation would still emit O(cap^2) garbage pairs per stop-shingle,
     while genuine containment pairs are also discoverable via rare anchors.
+    The pair stream carries shared-anchor counts (a groupBy instead of
+    distinct — same shuffle) feeding the tier-1 containment estimate.
     """
-    buckets = sigs.select(F.explode("anchors").alias("key"), F.col("doc_id"))
-    w = Window.partitionBy("key")
-    kept = (
-        buckets.withColumn("sz", F.count("*").over(w))
-        .filter(F.col("sz") <= cfg.anchor_max_bucket)
-        .drop("sz")
+    kept = _kept_anchor_stream(sigs, cfg)
+    grouped = (
+        kept.groupBy("key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    return _pairs_from_capped(kept)
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    shared = pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("n_shared"))
+    kept_counts = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    return _anchor_tier1(shared, kept_counts, cfg)
 
 
 def simhash_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -157,6 +203,65 @@ def simhash_edges(
     )
 
 
+def unified_candidates(
+    sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """All three candidate generators through ONE bucket shuffle.
+
+    Bucket rows (gen, key, doc_id) for bands, anchors and simhash blocks are
+    unioned BEFORE the exchange; the per-generator cap policies (truncate to
+    max_bucket_size for lsh/simhash, drop-if-over anchor_max_bucket for
+    anchors) are two window functions over the same (gen, key) partitioning
+    — a single exchange, then one grouped pair explosion. Returns
+    (gen, a, b) distinct per generator.
+
+    Produces exactly the same candidate sets as the per-generator paths
+    (test-pinned), at 1/3 of the shuffle count — the dominant fixed cost of
+    the edges stage at moderate scale.
+    """
+    bands = sigs.select(
+        F.lit("lsh").alias("gen"), F.explode("bands").alias("key"), F.col("doc_id")
+    )
+    anchors = sigs.select(
+        F.lit("anchor").alias("gen"), F.explode("anchors").alias("key"), F.col("doc_id")
+    )
+    sims = sigs.filter(F.col("n_shingles") > 0).select(
+        F.lit("sim").alias("gen"), F.explode("sim_blocks").alias("key"), F.col("doc_id")
+    )
+    buckets = bands.unionByName(anchors).unionByName(sims)
+
+    wo = Window.partitionBy("gen", "key").orderBy("doc_id")
+    wc = Window.partitionBy("gen", "key")
+    capped = (
+        buckets.withColumn("rn", F.row_number().over(wo))
+        .withColumn("sz", F.count("*").over(wc))
+        .filter(
+            F.when(F.col("gen") == "anchor", F.col("sz") <= cfg.anchor_max_bucket)
+            .otherwise(F.col("rn") <= cfg.max_bucket_size)
+        )
+    )
+    grouped = (
+        capped.groupBy("gen", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = grouped.select(
+        "gen",
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("p"),
+    )
+    # shared-bucket counts instead of plain distinct: same shuffle, and the
+    # anchor count doubles as the tier-1 containment estimate numerator
+    return pairs.groupBy("gen", "p.a", "p.b").agg(
+        F.count("*").alias("n_shared")
+    ).select("gen", F.col("a"), F.col("b"), "n_shared")
+
+
 def build_edges(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """B9: union of exact, verified near-dup, containment, simhash edges.
 
@@ -164,18 +269,34 @@ def build_edges(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
     anchor candidates (a pair found by either generator qualifies through
     either metric — same rule as the oracle).
     """
-    cand = lsh_candidates(sigs, cfg).unionByName(anchor_candidates(sigs, cfg)).distinct()
-    verified = verify_candidates(cand, sigs, cfg)
-    near = verified.filter(F.col("jaccard") >= cfg.jaccard_tau).select(
-        "a", "b", F.lit("near").alias("kind")
+    # persisted: candidates feed two consumers (jaccard verify + simhash
+    # verify); spills to disk automatically if they outgrow memory
+    cand = unified_candidates(sigs, cfg).persist()
+    kept_counts = _kept_anchor_stream(sigs, cfg).groupBy("doc_id").agg(
+        F.count("*").alias("n_kept")
     )
-    contain = verified.filter(F.col("containment") >= cfg.containment_tau).select(
-        "a", "b", F.lit("containment").alias("kind")
+    anchor_kept = _anchor_tier1(
+        cand.filter(F.col("gen") == "anchor").select("a", "b", "n_shared"),
+        kept_counts,
+        cfg,
     )
-    sim = simhash_edges(simhash_candidates(sigs, cfg), sigs, cfg)
-    return (
-        exact_edges(sigs)
-        .unionByName(near)
-        .unionByName(contain)
-        .unionByName(sim)
+    jac_cand = (
+        cand.filter(F.col("gen") == "lsh")
+        .select("a", "b")
+        .unionByName(anchor_kept)
+        .distinct()
     )
+    sim_cand = cand.filter(F.col("gen") == "sim").select("a", "b")
+    verified = verify_candidates(jac_cand, sigs, cfg)
+    # one pass emits both edge kinds (no double verify-join)
+    kinds = F.array(
+        F.when(F.col("jaccard") >= cfg.jaccard_tau, F.lit("near")),
+        F.when(F.col("containment") >= cfg.containment_tau, F.lit("containment")),
+    )
+    jc_edges = verified.select(
+        "a",
+        "b",
+        F.explode(F.filter(kinds, lambda x: x.isNotNull())).alias("kind"),
+    )
+    sim = simhash_edges(sim_cand, sigs, cfg)
+    return exact_edges(sigs).unionByName(jc_edges).unionByName(sim)

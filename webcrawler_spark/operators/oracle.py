@@ -128,30 +128,49 @@ def run_oracle(
         if len(ids) > 1:
             res.lsh_candidates |= _capped_pairs(ids, cfg.max_bucket_size)
 
-    # B8 anchor-sampled containment candidates
+    # B8 anchor-sampled containment candidates (two-tier, mirrors lsh.py):
+    # kept buckets (<= anchor_max_bucket) -> shared-anchor counts per pair ->
+    # tier-1 estimate shared/min(n_anchors) >= tau - margin
     anchor_buckets: dict[int, list[int]] = defaultdict(list)
+    n_anchors: dict[int, int] = {}
     mod = np.uint64(cfg.anchor_mod)
     for doc_id, _ in docs:
         sh = res.shingle_sets[doc_id]
         if len(sh) == 0:
+            n_anchors[doc_id] = 0
             continue
-        for a in sh[sh % mod == np.uint64(0)]:
+        anchors = sh[sh % mod == np.uint64(0)]
+        n_anchors[doc_id] = len(anchors)
+        for a in anchors:
             anchor_buckets[int(a)].append(doc_id)
+    shared: dict[tuple[int, int], int] = defaultdict(int)
+    kept_anchors: dict[int, int] = defaultdict(int)
     for ids in anchor_buckets.values():
         # drop oversized (boilerplate) buckets outright — see lsh.py
-        if 1 < len(set(ids)) <= cfg.anchor_max_bucket:
-            res.anchor_candidates |= _capped_pairs(ids, cfg.max_bucket_size)
+        if len(set(ids)) <= cfg.anchor_max_bucket:
+            for d in ids:
+                kept_anchors[d] += 1
+            if len(set(ids)) > 1:
+                for p in _capped_pairs(ids, cfg.max_bucket_size):
+                    shared[p] += 1
+    thresh = cfg.containment_tau - cfg.anchor_est_margin
+    for (a, b), n_sh in shared.items():
+        # denominator = KEPT anchors only (unbiased under bucket dropping)
+        denom = min(kept_anchors[a], kept_anchors[b])
+        if denom and n_sh / denom >= thresh:
+            res.anchor_candidates.add((a, b))
 
-    # B7 SimHash pigeonhole blocks (token-bearing docs only)
-    block_bits = cfg.simhash_bits // cfg.simhash_blocks
-    mask = (1 << block_bits) - 1
-    sim_buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    # B7 SimHash pigeonhole tables (Manku-style multi-block keys; shingle-
+    # bearing docs only) — same key fn as the engine (hashing.simhash_block_keys)
+    sim_buckets: dict[int, list[int]] = defaultdict(list)
     for doc_id, _ in docs:
         if len(res.shingle_sets[doc_id]) == 0:
             continue
         fp = res.simhashes[doc_id]
-        for blk in range(cfg.simhash_blocks):
-            sim_buckets[(blk, (fp >> (blk * block_bits)) & mask)].append(doc_id)
+        for key in H.simhash_block_keys(
+            fp, cfg.simhash_blocks, cfg.simhash_hamming, cfg.simhash_bits
+        ):
+            sim_buckets[key].append(doc_id)
     for ids in sim_buckets.values():
         if len(ids) > 1:
             res.simhash_candidates |= _capped_pairs(ids, cfg.max_bucket_size)

@@ -35,6 +35,7 @@ SIGNATURE_SCHEMA = T.StructType(
         T.StructField("bands", T.ArrayType(T.LongType())),
         T.StructField("simhash", T.LongType()),
         T.StructField("sim_blocks", T.ArrayType(T.LongType())),
+        T.StructField("n_anchors", T.IntegerType()),
         T.StructField("anchors", T.ArrayType(T.LongType())),
         T.StructField("shingles", T.ArrayType(T.LongType())),
     ]
@@ -42,14 +43,9 @@ SIGNATURE_SCHEMA = T.StructType(
 
 
 def _sim_block_keys(fp: int, cfg: DedupConfig) -> list[int]:
-    block_bits = cfg.simhash_bits // cfg.simhash_blocks
-    mask = (1 << block_bits) - 1
-    # key packs (block index, block bits) so one join column suffices;
-    # fits comfortably in int64 (block_bits + log2(blocks) bits)
-    return [
-        (blk << block_bits) | ((fp >> (blk * block_bits)) & mask)
-        for blk in range(cfg.simhash_blocks)
-    ]
+    return H.simhash_block_keys(
+        fp, cfg.simhash_blocks, cfg.simhash_hamming, cfg.simhash_bits
+    )
 
 
 def compute_signatures(
@@ -75,6 +71,7 @@ def compute_signatures(
                 "bands": [None] * n,
                 "simhash": np.zeros(n, dtype="int64"),
                 "sim_blocks": [None] * n,
+                "n_anchors": np.zeros(n, dtype="int32"),
                 "anchors": [None] * n,
                 "shingles": [None] * n,
             }
@@ -94,9 +91,9 @@ def compute_signatures(
                     fp = H.simhash64(sh)
                     out["simhash"][i] = fp - (1 << 64) if fp >= (1 << 63) else fp
                     out["sim_blocks"][i] = _sim_block_keys(fp, cfg)
-                    out["anchors"][i] = H.signed(
-                        sh[sh % anchor_mod == np.uint64(0)]
-                    ).tolist()
+                    anch = sh[sh % anchor_mod == np.uint64(0)]
+                    out["n_anchors"][i] = len(anch)
+                    out["anchors"][i] = H.signed(anch).tolist()
                 else:
                     out["bands"][i] = []
                     out["sim_blocks"][i] = []
