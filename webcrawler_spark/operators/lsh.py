@@ -7,8 +7,8 @@ All relational, all JVM-side (whole-stage codegen; zero Python):
   <= cfg.max_bucket_size — the degenerate-boilerplate guard (the dedup-side
   twin of the reference's mega-domain serialization, rate_limiter.go:14-20);
   capping via window avoids collect_list memory blowups on hot buckets;
-- candidate pairs by capped equi-self-join (a < b), AQE skew-join handles
-  residual key skew;
+- candidate pairs by window-capped buckets + grouped higher-order pair
+  explosion (a < b), one exchange; AQE handles residual key skew;
 - verify via size(array_intersect(...)) on the distinct-shingle arrays =>
   exact Jaccard and containment, matching the oracle bit-for-bit;
 - SimHash verify via bit_count(a ^ b) <= hamming (Spark >= 3.5 built-in).
@@ -134,7 +134,8 @@ def anchor_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Dat
 
 
 def simhash_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """B7 pigeonhole: <=3 differing bits over 4 blocks => >=1 identical block."""
+    """B7 pigeonhole: <= hamming differing bits over B blocks => at least one
+    (B - hamming)-block table key matches (hashing.simhash_block_keys)."""
     buckets = sigs.filter(F.col("n_shingles") > 0).select(
         F.explode("sim_blocks").alias("key"), F.col("doc_id")
     )

@@ -132,6 +132,12 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="fix the partition count (scaling benches use the "
                          "same value at every parallelism level)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the pipeline N times (fresh warehouse each) in "
+                         "one session; report each wall plus the warm "
+                         "minimum. Steady-state throughput excludes one-time "
+                         "JIT/python-worker spin-up, which any long-running "
+                         "production job amortizes")
     args = ap.parse_args()
 
     from webcrawler_spark.session import get_spark
@@ -140,23 +146,28 @@ def main() -> None:
         "webcrawler-dedup", master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    t0 = time.time()
-    out = run_pipeline(spark, args.input, args.warehouse, run_id=args.run_id)
-    n_docs = out["signatures"].count()
-    n_edges = out["edges"].count()
-    n_clusters = out["clusters"].select("cluster_id").distinct().count()
-    wall = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "docs": n_docs,
-                "edges": n_edges,
-                "clusters": n_clusters,
-                "wall_secs": round(wall, 2),
-                "docs_per_sec": round(n_docs / wall, 1),
-            }
-        )
-    )
+    walls = []
+    result = {}
+    for i in range(max(1, args.repeat)):
+        wh = args.warehouse if args.repeat == 1 else f"{args.warehouse}_r{i}"
+        t0 = time.time()
+        out = run_pipeline(spark, args.input, wh, run_id=f"{args.run_id}_{i}")
+        n_docs = out["signatures"].count()
+        n_edges = out["edges"].count()
+        n_clusters = out["clusters"].select("cluster_id").distinct().count()
+        wall = time.time() - t0
+        walls.append(round(wall, 2))
+        result = {
+            "docs": n_docs,
+            "edges": n_edges,
+            "clusters": n_clusters,
+            "wall_secs": round(wall, 2),
+            "docs_per_sec": round(n_docs / wall, 1),
+        }
+    result["walls"] = walls
+    result["warm_wall_secs"] = min(walls)
+    result["warm_docs_per_sec"] = round(result["docs"] / min(walls), 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

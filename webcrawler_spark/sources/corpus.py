@@ -67,6 +67,70 @@ def generate_corpus(
     doc_id = 0
     texts: dict[int, str] = {}
 
+    def _wrap_html(tokens: list[str], lang: str) -> str:
+        """Realistic page markup around the token stream. Invariant: every
+        token appears exactly once, in order, inside non-excluded elements,
+        so the reference extraction semantics yield exactly
+        ' '.join(tokens). Script/style/noscript bodies, comments and
+        attributes add parse load without touching the golden text."""
+        parts = [
+            f'<!DOCTYPE html><html lang="{lang}"><head>',
+            '<meta charset="utf-8"><meta name="viewport" content="width=device-width">',
+            '<style>.main{margin:0 auto;max-width:72ch}.nav li{display:inline}</style>',
+            '<script>window.dataLayer=window.dataLayer||[];function g(){dataLayer.push(arguments)}</script>',
+            "</head><body>",
+            '<!-- header --><div class="nav" id="top"><ul>',
+            '</ul></div><div class="main" role="main">',
+        ]
+        i, n = 0, len(tokens)
+        seg = 0
+        while i < n:
+            step = 40 + (hash_step := (seg * 37) % 47)
+            chunk = tokens[i : i + step]
+            i += step
+            kind = seg % 7
+            if kind == 3:
+                parts.append(f'<h2 class="s{seg}">' + " ".join(chunk) + "</h2>")
+            elif kind == 5:
+                half = len(chunk) // 2 or 1
+                parts.append(
+                    '<ul class="list"><li>' + " ".join(chunk[:half])
+                    + "</li><li>" + " ".join(chunk[half:]) + "</li></ul>"
+                )
+            else:
+                parts.append(
+                    f'<p class="para" data-seg="{seg}">' + " ".join(chunk) + "</p>"
+                )
+            if kind == 2:
+                parts.append("<!-- segment boundary -->")
+            seg += 1
+        # realistic byte bulk: inline JS/CSS/JSON-LD boilerplate — the bytes
+        # real pages are mostly made of; none of it reaches visible text
+        junk_js = ";".join(
+            f'var s{k}={{"id":{k},"w":"seg{(k * 131) % 977}","ts":1700000{k:03d}}}'
+            for k in range(160)
+        )
+        junk_css = "".join(
+            f".c{k}{{margin:{k % 9}px;padding:{k % 7}px;color:#0{k % 10}{k % 10}}}"
+            for k in range(120)
+        )
+        ld = (
+            '{"@context":"https://schema.org","@type":"Article",'
+            f'"wordCount":{len(tokens)},"about":['
+            + ",".join(f'{{"name":"t{k}"}}' for k in range(40))
+            + "]}"
+        )
+        parts.append(
+            '</div><noscript>enable javascript</noscript>'
+            f'<script type="text/javascript">{junk_js}</script>'
+            f"<style>{junk_css}</style>"
+            f'<script type="application/ld+json">{ld}</script>'
+            f'<script type="text/javascript">g("js","page-view",{{"seg":{seg}}});</script>'
+            '<div class="footer"><img src="/l.png" alt=""></div>'
+            "</body></html>"
+        )
+        return "\n".join(parts)
+
     def add_doc(tokens: list[str], lang: str = "en") -> int:
         nonlocal doc_id
         d = doc_id
@@ -78,9 +142,7 @@ def generate_corpus(
         else:
             dom = domains[int(rng.integers(0, len(domains)))]
         url = f"https://{dom}/p/{d}"
-        html = (
-            f'<html lang="{lang}"><head></head><body><p>{text}</p></body></html>'
-        ).encode("utf-8")
+        html = _wrap_html(tokens, lang).encode("utf-8")
         corpus.rows.append(
             {
                 "doc_id": d,
