@@ -873,6 +873,60 @@ FROM documents
 """
 
 
+def q_link_interleave(spark, sf_dir):
+    """S3 analog (administrator_helpers.go:77-118): round-robin interleave of
+    two per-user event streams (clicks vs views) — flatten(zip_with(...)),
+    truncated to the shorter stream like the reference's alternation."""
+    ev = load(spark, sf_dir, "events")
+
+    def ids_of(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id"))),
+                    lambda s: s["event_id"],
+                ).alias(t + "s")
+            )
+        )
+
+    joined = ids_of("click").join(ids_of("view"), "user_id")
+    inter = F.flatten(
+        F.zip_with(
+            F.slice("clicks", 1, F.least(F.size("clicks"), F.size("views"))),
+            F.slice("views", 1, F.least(F.size("clicks"), F.size("views"))),
+            lambda c, v: F.array(c, v),
+        )
+    )
+    return joined.select(
+        "user_id",
+        F.size("clicks").alias("n_clicks"),
+        F.size("views").alias("n_views"),
+        inter.alias("interleaved"),
+    ).withColumn("interleaved", F.concat_ws(",", F.col("interleaved")))
+
+
+SQL_LINK_INTERLEAVE = """
+WITH c AS (
+  SELECT user_id,
+         list_transform(list_sort(list((ts, event_id))), s -> s[2]) AS clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), v AS (
+  SELECT user_id,
+         list_transform(list_sort(list((ts, event_id))), s -> s[2]) AS views
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT c.user_id, len(clicks) AS n_clicks, len(views) AS n_views,
+       array_to_string(
+         flatten(list_transform(
+           list_zip(clicks[1:least(len(clicks), len(views))],
+                    views[1:least(len(clicks), len(views))]),
+           p -> [p[1], p[2]])), ',') AS interleaved
+FROM c JOIN v ON c.user_id = v.user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # C. rows-only entries (non-SQL-expressible; pytest-verified vs the
 #    sequential numpy oracle instead)
@@ -952,6 +1006,7 @@ QUERIES: dict[str, tuple] = {
     "link_classification": (q_link_classification, SQL_LINK_CLASSIFICATION),
     "headings_extract": (q_headings_extract, SQL_HEADINGS_EXTRACT),
     "meta_timestamps": (q_meta_timestamps, SQL_META_TIMESTAMPS),
+    "link_interleave": (q_link_interleave, SQL_LINK_INTERLEAVE),
     # C. rows-only (non-SQL-expressible)
     "minhash_dup_pairs": (q_minhash_dup_pairs, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
