@@ -25,11 +25,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """For each u: m = min(N(u) + {u}); emit (v, m) for v in N(u), v > u."""
     nbrs = _symmetrize(edges)
     w = Window.partitionBy("u")
+    # no distinct here: duplicates don't affect the min and the small-star
+    # pass dedupes — saves one exchange per round
     return (
         nbrs.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -42,7 +43,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
     w = Window.partitionBy("u")
     with_min = oriented.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
     out_nbrs = with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
-    out_self = with_min.select(F.col("u"), F.col("m").alias("v")).distinct()
+    out_self = with_min.select(F.col("u"), F.col("m").alias("v"))
+    # single final distinct dedupes both branches
     return (
         out_nbrs.unionByName(out_self)
         .filter(F.col("u") != F.col("v"))
