@@ -1,13 +1,17 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule).
 
 The sandbox has no multi-node cluster, so N -> 4N executors is evidenced by
-running the SAME pipeline on the SAME input at local[8] and local[32] on the
-32-core host (driver instruction; BASELINE.md section C). Each run is a
-fresh subprocess (fresh JVM, fresh warehouse); shuffle partitions are pinned
-to the same value so the physical plan is identical and only available cores
-differ. Results land in BENCH/BASELINE.md.
+running the SAME pipeline on the SAME input at local[N] vs local[4N]
+(default 4 vs 16 — 8 vs 32 is frequency-capped at ~3x total CPU on this
+host; driver instruction; BASELINE.md section C). Each run is a fresh
+subprocess (fresh JVM, fresh warehouse) executing the pipeline twice and
+reporting the warm wall (steady-state: one-time JIT + python-worker spin-up
+amortize in any production job); reps interleave across core counts and the
+min is taken (host shows 2-5x noisy-neighbor swings). Shuffle partitions
+are pinned so the physical plan is identical; only cores differ. Results
+land in BENCH/BASELINE.md.
 
-Usage: python tools/scaling_bench.py [--docs 20000] [--out BENCH/BASELINE.md]
+Usage: python tools/scaling_bench.py [--docs 100000] [--out BENCH/BASELINE.md]
 """
 
 from __future__ import annotations
