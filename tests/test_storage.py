@@ -1,0 +1,70 @@
+"""Storage adapter edge cases: manifest corruption, config-hash mismatch,
+metrics accumulation (SURVEY.md A2/A3 resume semantics)."""
+
+import json
+import os
+
+from webcrawler_spark.io import Storage
+
+
+def _mk(spark, tmp_path, config_hash="h1"):
+    return Storage(
+        spark=spark,
+        warehouse=str(tmp_path),
+        config_hash=config_hash,
+        run_id="t",
+    )
+
+
+def test_stage_commit_and_skip(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "doc_id")
+
+    out1 = st.stage("s1", build)
+    assert out1.count() == 5 and calls == [1]
+    out2 = st.stage("s1", build)  # committed => build not called again
+    assert out2.count() == 5 and calls == [1]
+
+
+def test_corrupt_manifest_rebuilds(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).withColumnRenamed("id", "doc_id")
+
+    st.stage("s2", build)
+    mpath = os.path.join(st.stage_path("s2"), "_MANIFEST.json")
+    with open(mpath, "w") as fh:
+        fh.write("{not json")
+    st.stage("s2", build)
+    assert calls == [1, 1]  # rebuilt
+
+
+def test_config_change_rebuilds(spark, tmp_path):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).withColumnRenamed("id", "doc_id")
+
+    _mk(spark, tmp_path, "cfgA").stage("s3", build)
+    _mk(spark, tmp_path, "cfgB").stage("s3", build)  # hash mismatch => rerun
+    _mk(spark, tmp_path, "cfgB").stage("s3", build)  # now committed
+    assert calls == [1, 1]
+
+
+def test_metrics_accumulate(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.stage("s4", lambda: spark.range(7).withColumnRenamed("id", "doc_id"))
+    st.record_partition_skew("s4", st.read_stage("s4"))
+    m = st.read_metrics()
+    metrics = {r["metric"] for r in m.collect()}
+    assert {"rows_out", "commit_secs", "partition_rows_max"} <= metrics
+    rows_out = [r for r in m.collect() if r["metric"] == "rows_out"]
+    assert rows_out[0]["value"] == 7.0
