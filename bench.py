@@ -54,11 +54,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     n_docs = 0
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, reps)):  # steady-state: min-of-N (JIT amortizes)
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         if name == "dedup_clusters":
             n_docs = n
 
