@@ -1,0 +1,40 @@
+"""Dump formatted physical plans for the engine's key queries — the
+plan-quality evidence (pushdown, pruning, broadcast, codegen spans).
+
+Usage: python tools/explain_plans.py [sf_dir] > PLANS.md
+"""
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from webcrawler_spark.plans.queries import QUERIES
+from webcrawler_spark.session import get_spark
+
+SHOW = [
+    "lang_filter_en",        # pushed-down scan predicate + pruning
+    "pricing_summary",       # filter pushdown + partial aggregation
+    "region_rollup",         # broadcast dimension joins
+    "minhash_dup_pairs",     # candidate gen + verify topology
+    "dedup_clusters",        # full dedup DAG
+    "embedding_topk",        # higher-order fns stay JVM-side
+]
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plans", master="local[2]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    print("# Physical plans (explain formatted)\n")
+    for name in SHOW:
+        df = QUERIES[name][0](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        print(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+
+
+if __name__ == "__main__":
+    main()
