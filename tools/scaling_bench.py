@@ -33,10 +33,15 @@ def ensure_corpus(n_docs: int, base: str) -> str:
     out = os.path.join(base, f"scaling_corpus_{n_docs}")
     marker = os.path.join(out, "web_pages.parquet")
     if not os.path.exists(marker):
-        from webcrawler_spark.sources.corpus import generate_corpus, write_parquet
-
         print(f"generating {n_docs}-doc corpus -> {out}", file=sys.stderr)
-        write_parquet(generate_corpus(n_docs, seed=42), out)
+        if n_docs <= 50_000:
+            from webcrawler_spark.sources.corpus import generate_corpus, write_parquet
+
+            write_parquet(generate_corpus(n_docs, seed=42), out)
+        else:  # parallel sharded generation (independent seeded shards)
+            from webcrawler_spark.sources.corpus import write_parquet_sharded
+
+            write_parquet_sharded(n_docs, out, shards=24, seed=42)
     return marker
 
 

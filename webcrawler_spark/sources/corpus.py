@@ -285,3 +285,68 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
         }
     )
     pq.write_table(truth, os.path.join(out_dir, "dup_truth.parquet"))
+
+
+def _gen_shard(args) -> tuple[int, int]:
+    """Worker: generate one shard with its own seed and id offset, write
+    parquet parts into dir-style web_pages.parquet / dup_truth.parquet."""
+    import os
+
+    k, n_shard, base_seed, offset, out_dir = args
+    c = generate_corpus(n_shard, seed=base_seed + k)
+    for r in c.rows:
+        d = r["doc_id"] + offset
+        r["doc_id"] = d
+        r["url"] = r["url"].rsplit("/", 1)[0] + f"/{d}"
+    c.truth_pairs = [(a + offset, b + offset, f) for a, b, f in c.truth_pairs]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = c.rows
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us", tz="UTC")),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "web_pages.parquet", f"part-{k:04d}.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id_a": pa.array([a for a, _, _ in c.truth_pairs], pa.int64()),
+                "doc_id_b": pa.array([b for _, b, _ in c.truth_pairs], pa.int64()),
+                "family": pa.array([f for _, _, f in c.truth_pairs], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "dup_truth.parquet", f"part-{k:04d}.parquet"),
+    )
+    return k, len(rows)
+
+
+def write_parquet_sharded(
+    n_docs: int, out_dir: str, shards: int = 24, seed: int = 42, procs: int | None = None
+) -> None:
+    """Parallel deterministic corpus: `shards` independent shards (seed+k,
+    id-offset k*chunk); duplicate families never span shards. Directory-style
+    parquet outputs (a dir of part files) that Spark reads natively."""
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(os.path.join(out_dir, "web_pages.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "dup_truth.parquet"), exist_ok=True)
+    chunk = n_docs // shards
+    jobs = [
+        (k, chunk if k < shards - 1 else n_docs - chunk * (shards - 1),
+         seed, k * (chunk + max(1, chunk // 2)), out_dir)
+        for k in range(shards)
+    ]
+    with mp.Pool(procs or min(shards, os.cpu_count() or 4)) as pool:
+        for _ in pool.imap_unordered(_gen_shard, jobs):
+            pass
