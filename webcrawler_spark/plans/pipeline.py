@@ -100,10 +100,15 @@ def run_pipeline(
     # through the Arrow extract stage — no join back to the input.
     web = with_doc_ids(web)
 
+    # Extraction runs NARROW over the scan splits (no shuffle of the raw
+    # html payload — ~10x heavier than the extracted text); the B13 salted
+    # repartition-by-domain (politeness mirror + skew handling) applies to
+    # the extracted pages, preserving per-domain co-location for every
+    # downstream stage at a tenth of the exchange bytes.
     pages = timed_stage(
         "extract",
-        lambda: extract_pages(
-            salted_repartition_by_domain(web, cfg), passthrough=("doc_id",)
+        lambda: salted_repartition_by_domain(
+            extract_pages(web, passthrough=("doc_id",)), cfg
         ),
     )
     docs = good_pages(pages).select("doc_id", "url", "text")
