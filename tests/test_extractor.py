@@ -353,3 +353,63 @@ def test_json_ld_only_matching_type():
     )
     pd = extract_page(html, "https://e.com")
     assert pd.structured_data == ['{"a":1}', '{"b":2}']
+
+
+def test_base_tag_head_reversal_quirk():
+    """findBaseTag (extractor.go:433-437) pushes <head> children in document
+    order onto the stack, so they pop in REVERSE: with two base tags in
+    head, the LAST one wins (unlike the HTML5 'first wins' rule the comment
+    claims). Faithfully preserved."""
+    html = (
+        "<html lang='en'><head>"
+        "<base href='http://first.example/'>"
+        "<base href='http://second.example/'>"
+        "</head><body><a href='/x'>L</a></body></html>"
+    )
+    pd = extract_page(html, "https://orig.example")
+    # the rebased base IS second.example, so /x is INTERNAL to it
+    assert pd.internal_links == ["http://second.example/x"]
+    assert pd.external_links == []
+
+
+def test_base_tag_outside_head_found_by_dfs():
+    html = (
+        "<html lang='en'><body>"
+        "<base href='http://inbody.example/'>"
+        "<a href='/y'>L</a></body></html>"
+    )
+    pd = extract_page(html, "https://orig.example")
+    assert pd.internal_links == ["http://inbody.example/y"]
+
+
+def test_base_without_href_terminates_search():
+    """First base element encountered wins even with no href: search stops,
+    base URL unchanged (extractor.go:429)."""
+    html = (
+        "<html lang='en'><head>"
+        "<base target='_blank'>"
+        "<base href='http://later.example/'>"
+        "</head><body><a href='/z'>L</a></body></html>"
+    )
+    pd = extract_page(html, "https://orig.example")
+    # head reversal: the LAST base (with href) pops FIRST => it wins here
+    assert pd.internal_links == ["http://later.example/z"]
+
+
+def test_multiple_titles_each_checked():
+    """Each <title> visit overwrites Title and re-checks the filter."""
+    html = (
+        "<html lang='en'><head><title>Fine Title</title></head>"
+        "<body><svg><title>porn</title></svg>x</body></html>"
+    )
+    pd = extract_page(html, "https://e.com")
+    assert pd.fetch_error.startswith("title contains filtered term")
+
+
+def test_heading_with_nested_markup():
+    html = (
+        "<html lang='en'><body><h1>Big <em>bold</em> move</h1></body></html>"
+    )
+    pd = extract_page(html, "https://e.com")
+    assert pd.headings == {"h1": ["Big bold move"]}
+    assert pd.visible_text == "Big bold move"

@@ -187,3 +187,28 @@ def test_pipeline_end_to_end_and_resume(spark, corpus_dir, corpus, tmp_path):
     assert before["committed_at"] == after["committed_at"], "signatures stage re-ran"
     got2 = {r["doc_id"]: r["cluster_id"] for r in out2["clusters"].collect()}
     assert got2 == got
+
+
+def test_dedup_clusters_on_driver_testdata(spark):
+    """Engine == oracle on the driver's REAL documents table (sf0.001), not
+    just the synthetic corpus — guards tokenizer/hashing drift on foreign
+    text distributions."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    docs_df = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    docs = [(r["doc_id"], r["text"]) for r in docs_df.collect()]
+    oracle = run_oracle(docs)
+
+    from webcrawler_spark.operators.signatures import compute_signatures
+
+    sigs = compute_signatures(docs_df, CFG).cache()
+    edges = build_edges(sigs, CFG)
+    assigned = assign_clusters(docs_df, edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got == oracle.clusters
+    # sanity: the table contains actual near-dup structure to exercise
+    n_nontrivial = sum(1 for d, c in got.items() if c != d)
+    assert n_nontrivial > 0
