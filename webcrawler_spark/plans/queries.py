@@ -136,7 +136,8 @@ def q_source_counts(spark, sf_dir):
 
 
 SQL_SOURCE_COUNTS = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+-- sum() is HUGEINT in DuckDB (renders as float); cast to match Spark BIGINT
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY source
 """
 
@@ -399,7 +400,8 @@ WITH lagged AS (
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM lagged
 )
-SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events
+FROM sess GROUP BY 1, 2
 """
 
 
@@ -452,12 +454,17 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 
 def q_exact_dup_pairs(spark, sf_dir):
-    """B1 edges: identical text pairs."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    a = d.select(F.col("doc_id").alias("doc_id_a"), "text")
-    b = d.select(F.col("doc_id").alias("doc_id_b"), "text")
+    """B1 edges: identical text pairs. The join key is sha2(text, 256) —
+    a fixed 64-char shuffle key instead of multi-KB document text (the
+    pipeline's exact_edges convention, lsh.py) — content equality at
+    2^-128 collision odds, the standard exactness criterion at scale."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), "text_sha")
+    b = d.select(F.col("doc_id").alias("doc_id_b"), "text_sha")
     return (
-        a.join(b, "text")
+        a.join(b, "text_sha")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
     )
@@ -465,7 +472,8 @@ def q_exact_dup_pairs(spark, sf_dir):
 
 SQL_EXACT_DUP_PAIRS = """
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+FROM documents a
+JOIN documents b ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
 """
 
 
