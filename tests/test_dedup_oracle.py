@@ -101,9 +101,11 @@ def test_oracle_no_false_family_merges(corpus, oracle_result):
     truth = {(a, b) for a, b, _ in corpus.truth_pairs}
     for extra in oracle_result.all_pairs - truth:
         j = oracle_result.jaccard.get(extra, 1.0)
-        assert j >= CFG.jaccard_tau or extra in oracle_result.containment_pairs, (
-            f"unexplained edge {extra}"
-        )
+        assert (
+            j >= CFG.jaccard_tau
+            or extra in oracle_result.containment_pairs
+            or extra in oracle_result.substring_pairs
+        ), f"unexplained edge {extra}"
 
 
 def test_oracle_clusters_match_planted(corpus, oracle_result):

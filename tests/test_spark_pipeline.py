@@ -37,11 +37,15 @@ def oracle_result(corpus):
 
 
 @pytest.fixture(scope="module")
-def sigs(spark, corpus):
-    docs = spark.createDataFrame(
+def docs_df(spark, corpus):
+    return spark.createDataFrame(
         english_docs(corpus), "doc_id long, text string"
-    )
-    return compute_signatures(docs, CFG).cache()
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def sigs(docs_df):
+    return compute_signatures(docs_df, CFG).cache()
 
 
 def _pairs(df):
@@ -70,8 +74,8 @@ def test_candidates_match_oracle(sigs, oracle_result):
     assert _pairs(simhash_candidates(sigs, CFG)) == oracle_result.simhash_candidates
 
 
-def test_edges_match_oracle(sigs, oracle_result):
-    edges = build_edges(sigs, CFG).cache()
+def test_edges_match_oracle(sigs, docs_df, oracle_result):
+    edges = build_edges(sigs, CFG, docs=docs_df).cache()
     got = _pairs(edges.select("a", "b").distinct())
     assert got == oracle_result.all_pairs
     by_kind = {
@@ -82,19 +86,22 @@ def test_edges_match_oracle(sigs, oracle_result):
     assert by_kind.get("near", 0) == len(oracle_result.near_dup_pairs)
     assert by_kind.get("simhash", 0) == len(oracle_result.simhash_pairs)
     assert by_kind.get("containment", 0) == len(oracle_result.containment_pairs)
+    assert by_kind.get("substring", 0) == len(oracle_result.substring_pairs)
+    # the containment family plants verbatim-prefix docs — the substring
+    # pass must actually fire on this corpus, not vacuously match
+    assert len(oracle_result.substring_pairs) > 0
 
 
-def test_clusters_match_oracle(spark, sigs, oracle_result, corpus):
-    docs = spark.createDataFrame(english_docs(corpus), "doc_id long, text string")
-    edges = build_edges(sigs, CFG)
-    assigned = assign_clusters(docs, edges)
+def test_clusters_match_oracle(spark, sigs, docs_df, oracle_result):
+    edges = build_edges(sigs, CFG, docs=docs_df)
+    assigned = assign_clusters(docs_df, edges)
     got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
     assert got == oracle_result.clusters
 
 
-def test_recall_gate_spark(sigs, corpus):
+def test_recall_gate_spark(sigs, docs_df, corpus):
     """BASELINE.md: dup-pair recall >= 0.99 against planted ground truth."""
-    edges = build_edges(sigs, CFG)
+    edges = build_edges(sigs, CFG, docs=docs_df)
     detected = _pairs(edges.select("a", "b").distinct())
     truth = {(a, b) for a, b, _ in corpus.truth_pairs}
     recall = len(truth & detected) / len(truth)
@@ -205,7 +212,7 @@ def test_dedup_clusters_on_driver_testdata(spark):
     from webcrawler_spark.operators.signatures import compute_signatures
 
     sigs = compute_signatures(docs_df, CFG).cache()
-    edges = build_edges(sigs, CFG)
+    edges = build_edges(sigs, CFG, docs=docs_df)
     assigned = assign_clusters(docs_df, edges)
     got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
     assert got == oracle.clusters

@@ -43,6 +43,13 @@ class DedupConfig:
     # so one globally-rare shared anchor suffices)
     anchor_max_bucket: int = 8
     containment_tau: float = 0.8  # fraction of the smaller doc's shingles in the larger
+    # exact-substring pass (SURVEY B8, the suffix-array stage): verify the
+    # anchor tier-1 survivors for EXACT substring containment (smaller text
+    # occurs verbatim inside the larger) and emit kind='substring' edges.
+    # True substring pairs have shingle-containment ~1 >> tau, so the anchor
+    # candidate stream already carries them — the incremental cost is one
+    # text join for the (few) surviving pairs.
+    substring_pass: bool = True
     # two-tier verify: anchor candidate pairs are pre-filtered on the
     # containment ESTIMATE shared_kept_anchors/min(n_anchors) >= tau - margin
     # (scalar join; no shingle arrays move) before the exact shingle-set

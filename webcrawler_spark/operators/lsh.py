@@ -263,12 +263,20 @@ def unified_candidates(
     ).select("gen", F.col("a"), F.col("b"), "n_shared")
 
 
-def build_edges(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
-    """B9: union of exact, verified near-dup, containment, simhash edges.
+def build_edges(
+    sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, docs: DataFrame | None = None
+) -> DataFrame:
+    """B9: union of exact, verified near-dup, containment, simhash and (when
+    ``docs`` is provided and cfg.substring_pass) exact-substring edges.
 
     Jaccard/containment verification runs ONCE over the union of LSH and
     anchor candidates (a pair found by either generator qualifies through
-    either metric — same rule as the oracle).
+    either metric — same rule as the oracle). The substring pass (B8, the
+    suffix-array stage of the north rule) reuses the anchor tier-1 survivors
+    as candidates — exact substring implies shingle containment ~1, so no
+    extra candidate generation is needed — and verifies smaller-text-in-
+    larger-text with a C-level search over the co-located pair texts.
+    ``docs`` needs columns (doc_id, text).
     """
     # persisted: candidates feed two consumers (jaccard verify + simhash
     # verify); spills to disk automatically if they outgrow memory
@@ -300,4 +308,15 @@ def build_edges(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
         F.explode(F.filter(kinds, lambda x: x.isNotNull())).alias("kind"),
     )
     sim = simhash_edges(sim_cand, sigs, cfg)
-    return exact_edges(sigs).unionByName(jc_edges).unionByName(sim)
+    out = exact_edges(sigs).unionByName(jc_edges).unionByName(sim)
+    if docs is not None and cfg.substring_pass:
+        from webcrawler_spark.operators.suffix import substring_containment
+
+        # anchor tier-1 survivors double as substring candidates
+        sub = substring_containment(anchor_kept, docs)
+        out = out.unionByName(
+            sub.filter(F.col("is_substring")).select(
+                "a", "b", F.lit("substring").alias("kind")
+            )
+        )
+    return out

@@ -57,6 +57,7 @@ class OracleResult:
     near_dup_pairs: set[tuple[int, int]] = field(default_factory=set)
     simhash_pairs: set[tuple[int, int]] = field(default_factory=set)
     containment_pairs: set[tuple[int, int]] = field(default_factory=set)
+    substring_pairs: set[tuple[int, int]] = field(default_factory=set)
     all_pairs: set[tuple[int, int]] = field(default_factory=set)
     clusters: dict[int, int] = field(default_factory=dict)  # doc_id -> cluster
     jaccard: dict[tuple[int, int], float] = field(default_factory=dict)
@@ -193,12 +194,24 @@ def run_oracle(
         if inter / min(len(sa), len(sb)) >= cfg.containment_tau:
             res.containment_pairs.add((a, b))
 
+    # B8 exact-substring pass: anchor tier-1 survivors verified for verbatim
+    # smaller-text-in-larger-text containment (mirrors build_edges' reuse of
+    # the anchor candidate stream)
+    if cfg.substring_pass:
+        texts = dict(docs)
+        for a, b in sorted(res.anchor_candidates):
+            x, y = texts[a] or "", texts[b] or ""
+            small, big = (x, y) if len(x) <= len(y) else (y, x)
+            if small and small in big:
+                res.substring_pairs.add((a, b))
+
     # B9/B10/B11
     res.all_pairs = (
         res.exact_pairs
         | res.near_dup_pairs
         | res.simhash_pairs
         | res.containment_pairs
+        | res.substring_pairs
     )
     dsu = DisjointSet()
     for doc_id, _ in docs:

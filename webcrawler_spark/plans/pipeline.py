@@ -116,7 +116,7 @@ def run_pipeline(
     sigs = timed_stage("signatures", lambda: compute_signatures(docs, cfg))
     storage.record_partition_skew("signatures", sigs)
 
-    edges = timed_stage("edges", lambda: build_edges(sigs, cfg))
+    edges = timed_stage("edges", lambda: build_edges(sigs, cfg, docs=docs))
 
     clusters = timed_stage(
         "clusters",

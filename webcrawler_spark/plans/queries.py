@@ -936,8 +936,12 @@ FROM c JOIN v ON c.user_id = v.user_id
 
 
 # --------------------------------------------------------------------------
-# C. rows-only entries (non-SQL-expressible; pytest-verified vs the
-#    sequential numpy oracle instead)
+# C. flagship dedup path — the engine runs MinHash/LSH/union-find; the
+#    DuckDB oracle recomputes the SAME answer brute-force in SQL (string
+#    5-gram shingles; recursive-CTE label propagation for components). The
+#    engine's candidate generation is exact-recall at contract scale
+#    (pytest-pinned vs the sequential numpy oracle), so any divergence from
+#    the brute-force SQL is a real bug, not sampling noise.
 # --------------------------------------------------------------------------
 
 def _doc_signatures(spark, sf_dir):
@@ -952,7 +956,10 @@ def _doc_signatures(spark, sf_dir):
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
-    """B2-B6: MinHash/LSH near-dup pairs (verified Jaccard >= 0.8)."""
+    """B2-B6: MinHash/LSH near-dup pairs (verified Jaccard >= 0.8), through
+    the real engine path: signatures -> banded LSH buckets -> exact-Jaccard
+    verify. The oracle is the brute-force all-pairs Jaccard >= 0.8 set —
+    equality IS the recall/precision check."""
     from webcrawler_spark.operators.lsh import build_edges
 
     return (
@@ -962,20 +969,149 @@ def q_minhash_dup_pairs(spark, sf_dir):
     )
 
 
+# brute-force shingle pair metrics shared by the dedup oracles: exact
+# 5-gram Jaccard and containment over distinct word-5-gram sets
+_SQL_PAIR_METRICS = """
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), metrics AS (
+  SELECT ia, ib,
+         n / (na.n_sh + nb.n_sh - n)::double AS jac,
+         n / least(na.n_sh, nb.n_sh)::double AS cont
+  FROM inter
+  JOIN sizes na ON na.doc_id = ia
+  JOIN sizes nb ON nb.doc_id = ib
+)
+"""
+
+SQL_MINHASH_DUP_PAIRS = f"""
+WITH {_SQL_PAIR_METRICS}
+SELECT ia AS doc_id_a, ib AS doc_id_b FROM metrics WHERE jac >= 0.8
+"""
+
+
 def q_simhash_fingerprints(spark, sf_dir):
-    """B7: 64-bit shingle-SimHash per doc."""
+    """B7: 64-bit shingle-SimHash per doc. Rows-only (the blake2b token
+    hashing underneath is not SQL-expressible); bit-exactness is pinned by
+    pytest against the sequential numpy oracle instead."""
     return _doc_signatures(spark, sf_dir).select("doc_id", "simhash")
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """B9-B11: full dedup clusters over documents (union-find)."""
+    """B9-B11: full dedup clusters over documents (union-find), through all
+    four edge kinds (exact / near / containment+substring / simhash)."""
     from webcrawler_spark.operators.components import assign_clusters
     from webcrawler_spark.operators.lsh import build_edges
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = _doc_signatures(spark, sf_dir)
-    edges = build_edges(sigs, DEFAULT_CONFIG)
+    edges = build_edges(sigs, DEFAULT_CONFIG, docs=docs)
     return assign_clusters(docs, edges).select("doc_id", "cluster_id")
+
+
+# Connected components in SQL: derive the same edge kinds brute-force
+# (exact text via sha256, Jaccard >= tau, containment >= tau, exact
+# substring via position()), then iterate min-label propagation as a
+# recursive CTE (UNION dedups => terminates at the transitive closure;
+# cluster id = min reachable doc_id, the engine's min-root convention).
+# SimHash edges are intentionally absent: hamming <= 3 over the 64-bit
+# shingle fingerprint implies near-identical shingle sets, so simhash pairs
+# are a subset of the Jaccard closure (verified empirically at contract
+# scale; the engine keeps the simhash path for recall belt-and-braces).
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_PAIR_METRICS},
+jc_edges AS (
+  SELECT ia AS a, ib AS b FROM metrics WHERE jac >= 0.8 OR cont >= 0.8
+),
+exact_e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a
+  JOIN documents b ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+),
+sub_e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN length(a.text) <= length(b.text)
+             THEN length(a.text) > 0 AND position(a.text IN b.text) > 0
+             ELSE length(b.text) > 0 AND position(b.text IN a.text) > 0 END
+),
+edges AS (
+  SELECT a, b FROM jc_edges
+  UNION SELECT a, b FROM exact_e
+  UNION SELECT a, b FROM sub_e
+),
+sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def q_dedup_recall(spark, sf_dir):
+    """North-star recall gate, driver-visible: plant deterministic near-dup
+    variants of the documents table (doc_id % 5 == 0, >= 24 tokens: drop the
+    last 3 tokens => 5-gram Jaccard (m-7)/(m-4) >= 0.8), run the REAL engine
+    path (signatures -> LSH -> verify -> edges) over originals + variants,
+    and report (n_truth, n_found, recall). The oracle computes the same
+    truth set brute-force and asserts recall == 1.0 — any missed planted
+    pair turns this row red."""
+    from webcrawler_spark.operators.lsh import build_edges
+    from webcrawler_spark.operators.signatures import compute_signatures
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    variants = (
+        docs.filter((F.col("doc_id") % 5 == 0) & (F.size(toks) >= 24))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(variants)
+    edges = build_edges(
+        compute_signatures(corpus, DEFAULT_CONFIG), DEFAULT_CONFIG, docs=corpus
+    )
+    found = (
+        edges.select("a", "b")
+        .distinct()
+        .filter(F.col("b") - F.col("a") == 1_000_000)
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+    )
+    truth = variants.select((F.col("doc_id") - 1_000_000).alias("doc_id"))
+    joined = truth.join(found.withColumn("hit", F.lit(1)), "doc_id", "left")
+    return joined.agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*"), 4
+        ).alias("recall"),
+    )
+
+
+SQL_DEDUP_RECALL = """
+WITH truth AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 24
+)
+SELECT count(*) AS n_truth, count(*) AS n_found, 1.0::DOUBLE AS recall FROM truth
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1015,8 +1151,11 @@ QUERIES: dict[str, tuple] = {
     "headings_extract": (q_headings_extract, SQL_HEADINGS_EXTRACT),
     "meta_timestamps": (q_meta_timestamps, SQL_META_TIMESTAMPS),
     "link_interleave": (q_link_interleave, SQL_LINK_INTERLEAVE),
-    # C. rows-only (non-SQL-expressible)
-    "minhash_dup_pairs": (q_minhash_dup_pairs, None),
+    # C. flagship dedup path (engine vs brute-force SQL oracle)
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
+    # rows-only (blake2b token hashing is not SQL-expressible;
+    # pytest-pinned vs the numpy oracle)
     "simhash_fingerprints": (q_simhash_fingerprints, None),
-    "dedup_clusters": (q_dedup_clusters, None),
 }
