@@ -43,6 +43,33 @@ def test_lsh_topk_finds_planted_neighbors(embeddings):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_lsh_candidate_pairs_cover_dup_threshold(embeddings):
+    """The bucketed-LSH dup-pair path must recover every brute-force pair at
+    cosine >= 0.95 (planted perturbed copies), with zero crossJoin."""
+    from webcrawler_spark.operators.similarity import (
+        _cosine_col,
+        lsh_candidate_pairs,
+    )
+
+    e = embeddings.withColumn("v", F.col("embedding").cast("array<double>"))
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    brute = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cosine", _cosine_col("va", "vb"))
+        .filter(F.col("cosine") >= 0.95)
+        .collect()
+    }
+    assert len(brute) == 5  # the 5 planted (i, 40+i) pairs
+    cand = lsh_candidate_pairs(embeddings)
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in cand.collect()}
+    assert brute <= got
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_multimodal_features(spark):
     from webcrawler_spark.operators.multimodal import extract_features, synth_assets
 

@@ -123,6 +123,48 @@ def test_extraction_byte_identity_on_spark(spark, corpus_dir, corpus):
     assert mism == 0
 
 
+def test_signature_verify_mode_recall(corpus, docs_df):
+    """verify_mode='signature' (the extreme-scale path: shingle arrays never
+    leave the signature stage) must reproduce the planted-family recall gate
+    with MinHash-estimated Jaccard/containment."""
+    cfg = DedupConfig(verify_mode="signature")
+    sigs = compute_signatures(docs_df, cfg).cache()
+    assert "shingles" not in sigs.columns
+    edges = build_edges(sigs, cfg, docs=docs_df)
+    detected = _pairs(edges.select("a", "b").distinct())
+    truth = {(a, b) for a, b, _ in corpus.truth_pairs}
+    recall = len(truth & detected) / len(truth)
+    assert recall >= 0.99, f"signature-mode recall={recall}"
+
+
+def test_signature_mode_mismatch_fails_loudly(docs_df):
+    """Exact-mode verify over signature-mode signatures must raise, never
+    silently emit zero edges."""
+    sigs = compute_signatures(docs_df, DedupConfig(verify_mode="signature"))
+    with pytest.raises(ValueError, match="shingles"):
+        build_edges(sigs, DedupConfig(verify_mode="exact"), docs=docs_df)
+    with pytest.raises(ValueError, match="verify_mode"):
+        build_edges(sigs, DedupConfig(verify_mode="bogus"), docs=docs_df)
+
+
+def test_extraction_single_execution_in_plan(spark, corpus_dir):
+    """The mega-domain-counts branch must NOT consume the extraction
+    subtree: with stats_from=raw-urls the physical plan carries exactly one
+    MapInPandas node (two would mean the Arrow UDF runs twice per pass)."""
+    from webcrawler_spark.extract.spark_extract import extract_pages
+    from webcrawler_spark.plans.pipeline import (
+        salted_repartition_by_domain,
+        with_doc_ids,
+    )
+
+    web = with_doc_ids(spark.read.parquet(f"{corpus_dir}/web_pages.parquet"))
+    staged = salted_repartition_by_domain(
+        extract_pages(web, passthrough=("doc_id",)), stats_from=web.select("url")
+    )
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+
+
 def test_connected_components_vs_dsu(spark):
     """Pathological graphs: long chain, star, two blobs + bridge, random."""
     import random

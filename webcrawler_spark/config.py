@@ -74,7 +74,21 @@ class DedupConfig:
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2_000
-    verify_mode: str = "exact"   # "exact" (shingle-set Jaccard) | "signature"
+    # candidate verification:
+    #   "exact"     — join the distinct-shingle arrays and compute exact
+    #                 Jaccard/containment (bit-identical to the oracle).
+    #   "signature" — the extreme-scale path: shingle arrays are NOT carried
+    #                 past the signature stage (they are text-sized);
+    #                 Jaccard is estimated as the fraction of equal MinHash
+    #                 components (unbiased, sd = sqrt(J(1-J)/k) ~ 0.035 at
+    #                 J=0.8, k=128) and containment is derived from it via
+    #                 inter = J*(na+nb)/(1+J). Thresholds are lowered by
+    #                 signature_tau_margin (~3 sigma) so estimator variance
+    #                 costs recall odds ~1e-3 per true pair, trading a little
+    #                 precision (acceptable: dedup edges over-merge slightly
+    #                 rather than miss).
+    verify_mode: str = "exact"
+    signature_tau_margin: float = 0.10
 
     def config_hash(self) -> str:
         """Stable hash used by the stage-resume logic (skip-if-committed)."""

@@ -145,31 +145,74 @@ def simhash_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Da
 def verify_candidates(
     pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """B6: exact shingle-set Jaccard + containment for candidate pairs.
+    """B6: Jaccard + containment for candidate pairs. Output:
+    (a, b, inter, jaccard, containment) — all JVM-side, no Arrow round-trip.
 
-    Joins the (distinct) shingle arrays onto each side, then JVM-side
-    array_intersect — no Arrow round-trip. Output:
-    (a, b, inter, jaccard, containment).
+    verify_mode="exact": joins the distinct-shingle arrays and computes
+    exact metrics via array_intersect (bit-identical to the oracle).
+
+    verify_mode="signature": the extreme-scale path — the shingle arrays
+    (text-sized) never move; Jaccard is the fraction of equal MinHash
+    components (unbiased estimator) and inter/containment derive from it via
+    inter = J*(na+nb)/(1+J). Callers lower tau by cfg.signature_tau_margin.
+
+    A mode/schema mismatch (signature-mode signatures fed to an exact-mode
+    verify) fails loudly here instead of silently emitting zero edges.
     """
+    if cfg.verify_mode == "exact":
+        if "shingles" not in sigs.columns:
+            raise ValueError(
+                "verify_mode='exact' but the signatures carry no 'shingles' "
+                "column — they were computed with verify_mode='signature'. "
+                "Recompute signatures or set cfg.verify_mode='signature'."
+            )
+        sa = sigs.select(
+            F.col("doc_id").alias("a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("n_shingles").alias("na"),
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("n_shingles").alias("nb"),
+        )
+        return (
+            pairs.join(sa, "a")
+            .join(sb, "b")
+            .filter((F.col("na") > 0) & (F.col("nb") > 0))
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+            )
+            .withColumn("containment", F.col("inter") / F.least("na", "nb"))
+            .select("a", "b", "inter", "jaccard", "containment")
+        )
+    if cfg.verify_mode != "signature":
+        raise ValueError(f"unknown verify_mode {cfg.verify_mode!r}")
     sa = sigs.select(
         F.col("doc_id").alias("a"),
-        F.col("shingles").alias("sh_a"),
+        F.col("minhash").alias("mh_a"),
         F.col("n_shingles").alias("na"),
     )
     sb = sigs.select(
         F.col("doc_id").alias("b"),
-        F.col("shingles").alias("sh_b"),
+        F.col("minhash").alias("mh_b"),
         F.col("n_shingles").alias("nb"),
     )
+    # fraction of equal signature components; empty-shingle docs carry the
+    # all-ones sentinel signature (would spuriously match), hence na/nb > 0
+    eq = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    )
+    est_j = eq / F.lit(float(cfg.minhash_k))
+    est_inter = est_j * (F.col("na") + F.col("nb")) / (F.lit(1.0) + est_j)
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
         .filter((F.col("na") > 0) & (F.col("nb") > 0))
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
+        .withColumn("jaccard", est_j)
+        .withColumn("inter", est_inter)
         .withColumn("containment", F.col("inter") / F.least("na", "nb"))
         .select("a", "b", "inter", "jaccard", "containment")
     )
@@ -297,10 +340,16 @@ def build_edges(
     )
     sim_cand = cand.filter(F.col("gen") == "sim").select("a", "b")
     verified = verify_candidates(jac_cand, sigs, cfg)
+    # signature mode verifies against estimated metrics => lower tau by the
+    # estimator margin (recall over precision for dedup edges)
+    margin = cfg.signature_tau_margin if cfg.verify_mode == "signature" else 0.0
     # one pass emits both edge kinds (no double verify-join)
     kinds = F.array(
-        F.when(F.col("jaccard") >= cfg.jaccard_tau, F.lit("near")),
-        F.when(F.col("containment") >= cfg.containment_tau, F.lit("containment")),
+        F.when(F.col("jaccard") >= cfg.jaccard_tau - margin, F.lit("near")),
+        F.when(
+            F.col("containment") >= cfg.containment_tau - margin,
+            F.lit("containment"),
+        ),
     )
     jc_edges = verified.select(
         "a",

@@ -25,21 +25,27 @@ from webcrawler_spark.config import DedupConfig, DEFAULT_CONFIG
 from webcrawler_spark.functions.textnorm import tokenize
 from webcrawler_spark.operators import hashing as H
 
+_BASE_FIELDS = [
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("n_shingles", T.IntegerType()),
+    T.StructField("minhash", T.ArrayType(T.LongType())),
+    T.StructField("bands", T.ArrayType(T.LongType())),
+    T.StructField("simhash", T.LongType()),
+    T.StructField("sim_blocks", T.ArrayType(T.LongType())),
+    T.StructField("n_anchors", T.IntegerType()),
+    T.StructField("anchors", T.ArrayType(T.LongType())),
+]
+
+# exact verify mode carries the distinct-shingle arrays; signature mode
+# OMITS the column entirely (not empty arrays), so an exact-mode verify over
+# signature-mode signatures fails loudly on a missing column instead of
+# silently computing zero-intersection Jaccards
 SIGNATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("sha256", T.StringType()),
-        T.StructField("n_tokens", T.IntegerType()),
-        T.StructField("n_shingles", T.IntegerType()),
-        T.StructField("minhash", T.ArrayType(T.LongType())),
-        T.StructField("bands", T.ArrayType(T.LongType())),
-        T.StructField("simhash", T.LongType()),
-        T.StructField("sim_blocks", T.ArrayType(T.LongType())),
-        T.StructField("n_anchors", T.IntegerType()),
-        T.StructField("anchors", T.ArrayType(T.LongType())),
-        T.StructField("shingles", T.ArrayType(T.LongType())),
-    ]
+    _BASE_FIELDS + [T.StructField("shingles", T.ArrayType(T.LongType()))]
 )
+SIGNATURE_SCHEMA_NO_SHINGLES = T.StructType(_BASE_FIELDS)
 
 
 def _sim_block_keys(fp: int, cfg: DedupConfig) -> list[int]:
@@ -73,8 +79,9 @@ def compute_signatures(
                 "sim_blocks": [None] * n,
                 "n_anchors": np.zeros(n, dtype="int32"),
                 "anchors": [None] * n,
-                "shingles": [None] * n,
             }
+            if keep_shingles:
+                out["shingles"] = [None] * n
             for i, text in enumerate(pdf["text"]):
                 text = text or ""
                 out["sha256"][i] = hashlib.sha256(text.encode("utf-8")).hexdigest()
@@ -98,7 +105,9 @@ def compute_signatures(
                     out["bands"][i] = []
                     out["sim_blocks"][i] = []
                     out["anchors"][i] = []
-                out["shingles"][i] = H.signed(sh).tolist() if keep_shingles else []
+                if keep_shingles:
+                    out["shingles"][i] = H.signed(sh).tolist()
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema=SIGNATURE_SCHEMA)
+    schema = SIGNATURE_SCHEMA if keep_shingles else SIGNATURE_SCHEMA_NO_SHINGLES
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)

