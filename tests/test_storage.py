@@ -68,3 +68,37 @@ def test_metrics_accumulate(spark, tmp_path):
     assert {"rows_out", "commit_secs", "partition_rows_max"} <= metrics
     rows_out = [r for r in m.collect() if r["metric"] == "rows_out"]
     assert rows_out[0]["value"] == 7.0
+
+
+def test_iceberg_stage_roundtrip(spark, tmp_path):
+    """Catalog-based Iceberg stage commit/read/resume. Skips when the
+    iceberg-spark-runtime jar is not on the classpath (this sandbox ships
+    none); with the jar present it exercises the real writeTo/createOrReplace
+    + spark.table path end-to-end."""
+    import pytest
+
+    from webcrawler_spark.session import iceberg_available, iceberg_catalog_conf
+
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the session classpath")
+    for k, v in iceberg_catalog_conf("it_test", str(tmp_path / "icb")).items():
+        spark.conf.set(k, v)
+    st = Storage(
+        spark=spark,
+        warehouse=str(tmp_path),
+        config_hash="h1",
+        run_id="t",
+        table_format="iceberg",
+        iceberg_catalog="it_test",
+    )
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(7).withColumnRenamed("id", "doc_id")
+
+    out1 = st.stage("s1", build)
+    assert out1.count() == 7 and calls == [1]
+    assert spark.table(st.stage_table("s1")).count() == 7
+    out2 = st.stage("s1", build)  # manifest commit point => resume skips
+    assert out2.count() == 7 and calls == [1]

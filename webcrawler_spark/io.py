@@ -7,9 +7,13 @@ a stage whose manifest exists with a matching config hash is SKIPPED on
 re-run, so the pipeline resumes mid-run after a crash.
 
 Format: Iceberg when a runtime catalog is configured (``table_format=
-"iceberg"``); otherwise a plain parquet directory layout with an explicit
-JSON manifest per stage (this sandbox ships no Iceberg jar — the API is
-identical either way, swap by config).
+"iceberg"`` + ``iceberg_catalog``: stage outputs become catalog tables via
+``df.writeTo(...).using("iceberg").createOrReplace()`` and reads go through
+``spark.table`` — exercised by tests/test_storage.py::test_iceberg_stage_
+roundtrip, which skips when the iceberg-spark-runtime jar is absent, as in
+this sandbox); otherwise a plain parquet directory layout. Either way an
+explicit JSON manifest per stage is the commit point (written LAST), so the
+resume semantics are format-independent.
 """
 
 from __future__ import annotations
@@ -32,10 +36,22 @@ class Storage:
     config_hash: str
     run_id: str = "run0"
     table_format: str = "parquet"  # "iceberg" when a catalog is configured
+    # catalog.namespace prefix for iceberg stage tables (the catalog must be
+    # configured on the session — session.iceberg_catalog_conf)
+    iceberg_catalog: str = "local"
+    iceberg_namespace: str = "dedup"
 
     # ---- stage checkpoints ------------------------------------------------
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.warehouse, "_stages", stage)
+
+    def stage_table(self, stage: str) -> str:
+        """Fully-qualified Iceberg table name for a stage (table per stage,
+        namespaced per run so concurrent runs never collide)."""
+        return (
+            f"{self.iceberg_catalog}.{self.iceberg_namespace}"
+            f".{self.run_id}_{stage}"
+        )
 
     def is_committed(self, stage: str) -> bool:
         mpath = os.path.join(self.stage_path(stage), MANIFEST)
@@ -53,12 +69,20 @@ class Storage:
         LAST (commit point: a crash mid-write leaves no manifest => re-run)."""
         path = self.stage_path(stage)
         t0 = time.time()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
         if self.table_format == "iceberg":
-            writer.format("iceberg").save(path)
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS "
+                f"{self.iceberg_catalog}.{self.iceberg_namespace}"
+            )
+            writer = df.writeTo(self.stage_table(stage)).using("iceberg")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            os.makedirs(path, exist_ok=True)  # manifest home
         else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
         out = self.read_stage(stage)
         rows = out.count()
@@ -77,10 +101,9 @@ class Storage:
         return out
 
     def read_stage(self, stage: str) -> DataFrame:
-        path = self.stage_path(stage)
         if self.table_format == "iceberg":
-            return self.spark.read.format("iceberg").load(path)
-        return self.spark.read.parquet(path)
+            return self.spark.table(self.stage_table(stage))
+        return self.spark.read.parquet(self.stage_path(stage))
 
     def stage(self, name: str, build) -> DataFrame:
         """Idempotent stage: reuse the committed output when the config hash

@@ -49,3 +49,30 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def iceberg_catalog_conf(catalog: str, warehouse: str) -> dict[str, str]:
+    """Spark conf for a Hadoop-backed Iceberg catalog (the production table
+    format per the north rule; requires the iceberg-spark-runtime jar on the
+    session classpath, e.g. spark-submit --packages
+    org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>).
+
+    These keys are settable on a LIVE session too (catalog plugins
+    instantiate lazily on first reference), which is how the integration
+    test injects a scratch catalog without rebuilding the session."""
+    return {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
