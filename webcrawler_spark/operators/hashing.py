@@ -33,9 +33,17 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def perm_seeds(k: int, seed: int) -> np.ndarray:
-    """k per-permutation seeds derived from the config seed (default 42)."""
+    """(2, k) multiply-add permutation constants derived from the config
+    seed: row 0 = odd multipliers, row 1 = offsets. MinHash permutation j is
+    h_j(x) = (a_j * x + b_j) mod 2^64 — pairwise-independent-style linear
+    hashing over already-splitmix-mixed shingle hashes (uniform inputs), at
+    1 multiply + 1 add per matrix cell instead of a full splitmix finalizer
+    (~4x faster over the (m, k) signature matrix, the single hottest loop in
+    the engine)."""
     idx = np.arange(k, dtype=_U64) + _U64(seed)
-    return splitmix64(splitmix64(idx))
+    a = splitmix64(splitmix64(idx)) | _U64(1)  # odd => bijective mod 2^64
+    b = splitmix64(idx + _U64(0xA5A5_A5A5))
+    return np.stack([a, b])
 
 
 def token_hash(token: str) -> int:
@@ -86,16 +94,18 @@ def shingle_hashes(tok_h: np.ndarray, w: int) -> np.ndarray:
 
 
 def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
-    """k-permutation MinHash: sig[j] = min_x splitmix64(x ^ seed_j).
+    """k-permutation MinHash: sig[j] = min_x (a_j * x + b_j) mod 2^64 with
+    (a, b) = perm_seeds rows (linear permutations, Broder-style).
 
     Empty shingle set => all-ones sentinel (matches nothing).
     """
-    k = len(seeds)
+    a, b = seeds[0], seeds[1]
+    k = seeds.shape[1]
     if len(shingles) == 0:
         return np.full(k, _MASK, dtype=_U64)
     # (m, k) matrix; m*k*8 bytes transient (m ~ 1e3 => ~1 MB) — Arrow batch
     # sizing keeps this bounded (config.arrow_batch_rows)
-    mat = splitmix64(shingles[:, None] ^ seeds[None, :])
+    mat = (shingles[:, None] * a[None, :] + b[None, :]) & _MASK
     return mat.min(axis=0)
 
 
@@ -111,15 +121,20 @@ def simhash64(features: np.ndarray) -> int:
     Bit j of the fingerprint is 1 iff sum over features of
     (+1 if bit j of the feature is set else -1) is positive.
     """
-    if len(features) == 0:
+    m = len(features)
+    if m == 0:
         return 0
-    bits = (features[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)
-    v = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-    fp = np.uint64(0)
-    for j in range(64):
-        if v[j] > 0:
-            fp |= _U64(1) << _U64(j)
-    return int(fp)
+    # one C-level unpack to an (m, 64) bit matrix (little-endian bit j =
+    # fingerprint bit j); bit j of the output is 1 iff its column popcount
+    # exceeds m/2 (same sign rule as the +-1 sum, exact in integers)
+    bits = np.unpackbits(
+        features.view(np.uint8).reshape(m, 8), axis=1, bitorder="little"
+    )
+    counts = bits.sum(axis=0, dtype=np.int64)
+    return int(
+        np.packbits((2 * counts > m).astype(np.uint8), bitorder="little")
+        .view(np.uint64)[0]
+    )
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray:

@@ -68,6 +68,28 @@ def compute_signatures(
         cache: dict[str, int] = {}
         for pdf in batches:
             n = len(pdf)
+            # batch-level token hashing: factorize the whole batch's token
+            # stream (C-level), blake2b only the per-batch vocabulary (zipf
+            # => tiny vs the stream), then gather — replaces millions of
+            # per-token dict lookups per batch with one indexed gather
+            tok_lists = [tokenize(t or "") for t in pdf["text"]]
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            flat = [tok for toks in tok_lists for tok in toks]
+            if flat:
+                codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+                uh = np.empty(len(uniques), dtype=np.uint64)
+                _th, _get = H.token_hash, cache.get
+                for u, tok in enumerate(uniques):
+                    h = _get(tok)
+                    if h is None:
+                        h = _th(tok)
+                        cache[tok] = h
+                    uh[u] = h
+                th_flat = uh[codes]
+            else:
+                th_flat = np.empty(0, dtype=np.uint64)
             out = {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "sha256": [None] * n,
@@ -85,9 +107,8 @@ def compute_signatures(
             for i, text in enumerate(pdf["text"]):
                 text = text or ""
                 out["sha256"][i] = hashlib.sha256(text.encode("utf-8")).hexdigest()
-                toks = tokenize(text)
-                out["n_tokens"][i] = len(toks)
-                th = H.token_hashes(toks, cache)
+                out["n_tokens"][i] = lens[i]
+                th = th_flat[offs[i] : offs[i + 1]]
                 sh = H.shingle_hashes(th, w)
                 out["n_shingles"][i] = len(sh)
                 sig = H.minhash_signature(sh, seeds)
