@@ -247,21 +247,13 @@ def simhash_edges(
     )
 
 
-def unified_candidates(
+def unified_capped_buckets(
     sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """All three candidate generators through ONE bucket shuffle.
-
-    Bucket rows (gen, key, doc_id) for bands, anchors and simhash blocks are
-    unioned BEFORE the exchange; the per-generator cap policies (truncate to
+    """(gen, key, doc_id) bucket rows for all three candidate generators
+    after ONE exchange and the per-generator cap policies (truncate to
     max_bucket_size for lsh/simhash, drop-if-over anchor_max_bucket for
-    anchors) are two window functions over the same (gen, key) partitioning
-    — a single exchange, then one grouped pair explosion. Returns
-    (gen, a, b) distinct per generator.
-
-    Produces exactly the same candidate sets as the per-generator paths
-    (test-pinned), at 1/3 of the shuffle count — the dominant fixed cost of
-    the edges stage at moderate scale.
+    anchors) — two window functions over the same (gen, key) partitioning.
     """
     bands = sigs.select(
         F.lit("lsh").alias("gen"), F.explode("bands").alias("key"), F.col("doc_id")
@@ -276,14 +268,19 @@ def unified_candidates(
 
     wo = Window.partitionBy("gen", "key").orderBy("doc_id")
     wc = Window.partitionBy("gen", "key")
-    capped = (
+    return (
         buckets.withColumn("rn", F.row_number().over(wo))
         .withColumn("sz", F.count("*").over(wc))
         .filter(
             F.when(F.col("gen") == "anchor", F.col("sz") <= cfg.anchor_max_bucket)
             .otherwise(F.col("rn") <= cfg.max_bucket_size)
         )
+        .select("gen", "key", "doc_id")
     )
+
+
+def _pairs_from_unified(capped: DataFrame) -> DataFrame:
+    """capped buckets -> (gen, a, b, n_shared) candidate pairs."""
     grouped = (
         capped.groupBy("gen", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -306,6 +303,22 @@ def unified_candidates(
     ).select("gen", F.col("a"), F.col("b"), "n_shared")
 
 
+def unified_candidates(
+    sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """All three candidate generators through ONE bucket shuffle.
+
+    Bucket rows for bands, anchors and simhash blocks are unioned BEFORE the
+    exchange; one grouped pair explosion follows. Returns
+    (gen, a, b, n_shared) distinct per generator.
+
+    Produces exactly the same candidate sets as the per-generator paths
+    (test-pinned), at 1/3 of the shuffle count — the dominant fixed cost of
+    the edges stage at moderate scale.
+    """
+    return _pairs_from_unified(unified_capped_buckets(sigs, cfg))
+
+
 def build_edges(
     sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -321,11 +334,16 @@ def build_edges(
     larger-text with a C-level search over the co-located pair texts.
     ``docs`` needs columns (doc_id, text).
     """
-    # persisted: candidates feed two consumers (jaccard verify + simhash
-    # verify); spills to disk automatically if they outgrow memory
-    cand = unified_candidates(sigs, cfg).persist()
-    kept_counts = _kept_anchor_stream(sigs, cfg).groupBy("doc_id").agg(
-        F.count("*").alias("n_kept")
+    # one bucket exchange feeds candidate pairs AND the kept-anchor counts
+    # (the tier-1 denominator) — the counts previously re-exploded and
+    # re-shuffled every anchor row through a second window; persisted:
+    # two consumers, spills to disk automatically if it outgrows memory
+    capped = unified_capped_buckets(sigs, cfg).persist()
+    cand = _pairs_from_unified(capped).persist()
+    kept_counts = (
+        capped.filter(F.col("gen") == "anchor")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"))
     )
     anchor_kept = _anchor_tier1(
         cand.filter(F.col("gen") == "anchor").select("a", "b", "n_shared"),

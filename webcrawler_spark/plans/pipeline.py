@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,6 +80,37 @@ def salted_repartition_by_domain(
     return salted.repartition(int(parts), "_domain", "_salt").drop("_domain", "_salt")
 
 
+def tune_split_size(
+    spark: SparkSession, path: str, waves_per_core: int = 4
+) -> int:
+    """Size file splits for the NEXT (CPU-bound Arrow) stage so every core
+    gets >= `waves_per_core` task waves.
+
+    The JVM-scan default (32 MB splits) is right for columnar aggregation,
+    but an Arrow UDF chews ~5-10 MB/s/core — at small total input the
+    default quantizes the stage into fewer tasks than cores x waves and the
+    last wave runs half-empty (measured: 24 single-row-group input files
+    capped a 16-core extract at 2.3x over 4 cores). 4 waves/core bounds the
+    straggler tail at ~1/4 of a wave while per-task overhead (~50 ms) stays
+    <2% of a multi-second Arrow task. At 100 TB inputs any split size yields
+    abundant tasks and this returns the 128 MB cap. Session-conf based
+    (Spark exposes no per-scan knob); physical scans read the conf at
+    execution, so setting it before each stage's action is race-free in the
+    sequential pipeline."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith("_"):
+                total += os.path.getsize(os.path.join(root, f))
+    cores = spark.sparkContext.defaultParallelism
+    per = max(1 << 20, min(128 << 20, total // max(1, cores * waves_per_core)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(per))
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes", str(max(per // 8, 128 << 10))
+    )
+    return per
+
+
 def with_doc_ids(docs: DataFrame) -> DataFrame:
     """Stable doc ids: keep an input doc_id column when present, else
     xxhash64(url) (collision odds ~n^2/2^64 — swap to a 2-column 128-bit id
@@ -119,6 +151,7 @@ def run_pipeline(
     # downstream stage at a tenth of the exchange bytes. Mega-domain counts
     # come from the RAW input's url column (a column-pruned parquet scan) so
     # the extraction UDF has exactly one consumer and executes once.
+    tune_split_size(spark, input_path)
     pages = timed_stage(
         "extract",
         lambda: salted_repartition_by_domain(
@@ -129,9 +162,11 @@ def run_pipeline(
     )
     docs = good_pages(pages).select("doc_id", "url", "text")
 
+    tune_split_size(spark, storage.stage_path("extract"))
     sigs = timed_stage("signatures", lambda: compute_signatures(docs, cfg))
     storage.record_partition_skew("signatures", sigs)
 
+    tune_split_size(spark, storage.stage_path("signatures"))
     edges = timed_stage("edges", lambda: build_edges(sigs, cfg, docs=docs))
 
     clusters = timed_stage(

@@ -1020,6 +1020,28 @@ SELECT ia AS doc_id_a, ib AS doc_id_b FROM metrics WHERE jac >= 0.8
 """
 
 
+def q_substring_dup_pairs(spark, sf_dir):
+    """B8 (suffix pass): exact-substring containment pairs through the
+    engine path (anchor-sampled candidates -> tier-1 estimate -> C-level
+    smaller-in-larger verify). Oracle = brute-force position() over all
+    pairs; equality is the recall check for the anchor sampling."""
+    from webcrawler_spark.operators.suffix import substring_edges
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_edges(_doc_signatures(spark, sf_dir), docs).select(
+        F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b")
+    )
+
+
+SQL_SUBSTRING_DUP_PAIRS = """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE CASE WHEN length(a.text) <= length(b.text)
+           THEN length(a.text) > 0 AND position(a.text IN b.text) > 0
+           ELSE length(b.text) > 0 AND position(b.text IN a.text) > 0 END
+"""
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """B7: 64-bit shingle-SimHash per doc. Rows-only (the blake2b token
     hashing underneath is not SQL-expressible); bit-exactness is pinned by
@@ -1172,6 +1194,7 @@ QUERIES: dict[str, tuple] = {
     "link_interleave": (q_link_interleave, SQL_LINK_INTERLEAVE),
     # C. flagship dedup path (engine vs brute-force SQL oracle)
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
+    "substring_dup_pairs": (q_substring_dup_pairs, SQL_SUBSTRING_DUP_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
     # rows-only (blake2b token hashing is not SQL-expressible;

@@ -276,7 +276,13 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
         }
     )
-    pq.write_table(table, os.path.join(out_dir, "web_pages.parquet"))
+    # small row groups (~2k rows ≈ 9 MB of html) keep the file SPLITTABLE:
+    # a single jumbo row group is one indivisible scan task, which caps the
+    # extract stage's parallelism at the file count (Common-Crawl-style
+    # inputs are many splittable files; the synthetic corpus must be too)
+    pq.write_table(
+        table, os.path.join(out_dir, "web_pages.parquet"), row_group_size=2000
+    )
     truth = pa.table(
         {
             "doc_id_a": pa.array([a for a, _, _ in corpus.truth_pairs], pa.int64()),
@@ -316,6 +322,7 @@ def _gen_shard(args) -> tuple[int, int]:
             }
         ),
         os.path.join(out_dir, "web_pages.parquet", f"part-{k:04d}.parquet"),
+        row_group_size=2000,  # splittable shards (see write_parquet)
     )
     pq.write_table(
         pa.table(
