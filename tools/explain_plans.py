@@ -20,7 +20,18 @@ SHOW = [
     "minhash_dup_pairs",     # candidate gen + verify topology
     "dedup_clusters",        # full dedup DAG
     "embedding_topk",        # higher-order fns stay JVM-side
+    "embedding_dup_pairs",   # hyperplane-LSH bucketed join (no crossJoin)
 ]
+
+NOTES = {
+    "embedding_topk": (
+        "Note: the BroadcastNestedLoopJoin below is the DELIBERATE plan for "
+        "this query — 10 broadcast query vectors scored against the corpus "
+        "(scan-side stays partitioned; nothing shuffles). The all-pairs "
+        "scale path is `embedding_dup_pairs` below: hyperplane-LSH bucket "
+        "join, no cross product anywhere."
+    ),
+}
 
 
 def main() -> None:
@@ -33,7 +44,8 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        print(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+        note = f"{NOTES[name]}\n\n" if name in NOTES else ""
+        print(f"## {name}\n\n{note}```\n{buf.getvalue().strip()}\n```\n")
 
 
 if __name__ == "__main__":
