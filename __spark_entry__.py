@@ -3,9 +3,12 @@
 ``entry`` runs the flagship dedup-clusters query at sf0.001; ``queries`` /
 ``oracle_sql`` expose the operator registry from
 ``webcrawler_spark.plans.queries`` (SURVEY.md section 2 coverage — one entry
-per implemented operator, DuckDB-checked where SQL-expressible; MinHash /
-SimHash / union-find entries are rows-only and pytest-verified against the
-sequential numpy oracle instead).
+per implemented operator; 34 of 35 are DuckDB-checked, including the
+flagship dedup path: clusters vs recursive-CTE components over brute-force
+SQL edges, MinHash near-dup pairs vs the all-pairs Jaccard set, substring
+pairs vs position(), and a planted-variant recall gate. Only
+``simhash_fingerprints`` is rows-only — blake2b token hashing is not
+SQL-expressible — and is pytest-pinned against the sequential numpy oracle).
 """
 
 from __future__ import annotations
