@@ -1104,6 +1104,52 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+def q_dedup_filter(spark, sf_dir):
+    """The end-use of the dedup engine in a training-data pipeline: keep one
+    canonical document per duplicate cluster (min doc_id) and drop the rest.
+    Runs the full engine path; the oracle filters the same recursive-CTE
+    component labels."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+
+
+SQL_DEDUP_FILTER = f"""
+WITH RECURSIVE {_SQL_PAIR_METRICS},
+jc_edges AS (
+  SELECT ia AS a, ib AS b FROM metrics WHERE jac >= 0.8 OR cont >= 0.8
+),
+exact_e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a
+  JOIN documents b ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+),
+sub_e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN length(a.text) <= length(b.text)
+             THEN length(a.text) > 0 AND position(a.text IN b.text) > 0
+             ELSE length(b.text) > 0 AND position(b.text IN a.text) > 0 END
+),
+edges AS (
+  SELECT a, b FROM jc_edges
+  UNION SELECT a, b FROM exact_e
+  UNION SELECT a, b FROM sub_e
+),
+sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst
+)
+SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(dst)
+"""
+
+
 def q_dedup_recall(spark, sf_dir):
     """North-star recall gate, driver-visible: plant deterministic near-dup
     variants of the documents table (doc_id % 5 == 0, >= 24 tokens: drop the
@@ -1196,6 +1242,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "substring_dup_pairs": (q_substring_dup_pairs, SQL_SUBSTRING_DUP_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_filter": (q_dedup_filter, SQL_DEDUP_FILTER),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
     # rows-only (blake2b token hashing is not SQL-expressible;
     # pytest-pinned vs the numpy oracle)
