@@ -3,12 +3,13 @@
 ``entry`` runs the flagship dedup-clusters query at sf0.001; ``queries`` /
 ``oracle_sql`` expose the operator registry from
 ``webcrawler_spark.plans.queries`` (SURVEY.md section 2 coverage — one entry
-per implemented operator; 34 of 35 are DuckDB-checked, including the
+per implemented operator; ALL 35 entries are DuckDB-checked, including the
 flagship dedup path: clusters vs recursive-CTE components over brute-force
 SQL edges, MinHash near-dup pairs vs the all-pairs Jaccard set, substring
-pairs vs position(), and a planted-variant recall gate. Only
-``simhash_fingerprints`` is rows-only — blake2b token hashing is not
-SQL-expressible — and is pytest-pinned against the sequential numpy oracle).
+pairs vs position() under the engine's stated preconditions, a
+planted-variant recall gate, and SimHash via planted fingerprint-property
+families (``simhash_consistency``; raw fingerprints are additionally
+pytest-pinned bit-exact against the sequential numpy oracle).
 """
 
 from __future__ import annotations

@@ -119,7 +119,7 @@ def test_substring_containment(spark):
     }
     assert got[(1, 2)] == (True, 1)
     assert got[(1, 3)][0] is False
-    assert got[(1, 4)][0] is False
+    assert (1, 4) not in got  # empty side gated out before any text moves
 
 
 def test_partition_containment_pairs():
@@ -132,6 +132,27 @@ def test_partition_containment_pairs():
     other = token_hashes([f"x{i}" for i in range(50)], cache)
     pairs = partition_containment_pairs([10, 11, 12], [big, inner, other])
     assert pairs == [(11, 10)]
+
+
+def test_partition_containment_pairs_large_partition():
+    """The owner lookup is searchsorted (O(log n) per hit) — on a partition
+    large enough that a linear scan per match would be visibly quadratic,
+    every planted containment must still resolve to the right owner."""
+    from webcrawler_spark.operators.hashing import token_hashes
+    from webcrawler_spark.operators.suffix import partition_containment_pairs
+
+    cache = {}
+    ids, seqs, want = [], [], set()
+    for d in range(300):
+        base = token_hashes([f"d{d}w{i}" for i in range(80)], cache)
+        ids.append(d)
+        seqs.append(base)
+        if d % 3 == 0:  # plant a contained doc for every third base
+            ids.append(1000 + d)
+            seqs.append(base[10:50].copy())
+            want.add((1000 + d, d))
+    got = partition_containment_pairs(ids, seqs)
+    assert set(got) == want
 
 
 def test_substring_edges_on_corpus(spark):

@@ -84,12 +84,31 @@ def test_edges_match_oracle(sigs, docs_df, oracle_result):
     }
     assert by_kind.get("exact", 0) == len(oracle_result.exact_pairs)
     assert by_kind.get("near", 0) == len(oracle_result.near_dup_pairs)
-    assert by_kind.get("simhash", 0) == len(oracle_result.simhash_pairs)
+    # simhash edges are not part of the default flagship union
+    # (config.simhash_edges rationale) — engine and oracle both omit them
+    assert by_kind.get("simhash", 0) == 0
     assert by_kind.get("containment", 0) == len(oracle_result.containment_pairs)
     assert by_kind.get("substring", 0) == len(oracle_result.substring_pairs)
     # the containment family plants verbatim-prefix docs — the substring
     # pass must actually fire on this corpus, not vacuously match
     assert len(oracle_result.substring_pairs) > 0
+
+
+def test_edges_match_oracle_with_simhash(sigs, docs_df, corpus):
+    """simhash_edges=True restores the belt-and-braces union on BOTH sides:
+    engine kind counts and the full pair union still match the oracle."""
+    from webcrawler_spark.operators.oracle import run_oracle as _run
+
+    cfg = DedupConfig(simhash_edges=True)
+    oracle = _run(english_docs(corpus), cfg)
+    assert len(oracle.simhash_pairs) > 0  # not vacuous on this corpus
+    edges = build_edges(sigs, cfg, docs=docs_df).cache()
+    assert _pairs(edges.select("a", "b").distinct()) == oracle.all_pairs
+    by_kind = {
+        r["kind"]: r["n"]
+        for r in edges.groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_kind.get("simhash", 0) == len(oracle.simhash_pairs)
 
 
 def test_clusters_match_oracle(spark, sigs, docs_df, oracle_result):
@@ -236,6 +255,91 @@ def test_pipeline_end_to_end_and_resume(spark, corpus_dir, corpus, tmp_path):
     assert before["committed_at"] == after["committed_at"], "signatures stage re-ran"
     got2 = {r["doc_id"]: r["cluster_id"] for r in out2["clusters"].collect()}
     assert got2 == got
+
+
+def test_resolve_id_collisions(spark):
+    """Colliding initial ids must be deterministically re-keyed (distinct
+    urls get distinct ids) while repeated captures of the SAME url keep one
+    shared id."""
+    from webcrawler_spark.plans.pipeline import resolve_id_collisions
+
+    rows = [
+        ("https://a.example/1", 7),   # collides with /2 and /3
+        ("https://a.example/2", 7),
+        ("https://a.example/3", 7),
+        ("https://a.example/2", 7),   # repeat capture of /2 — same identity
+        ("https://b.example/x", 9),   # unique id, untouched
+    ]
+    df = spark.createDataFrame(rows, "url string, doc_id long")
+    out = resolve_id_collisions(df)
+    got = {(r["url"], r["doc_id"]) for r in out.collect()}
+    ids_by_url = {}
+    for url, i in got:
+        ids_by_url.setdefault(url, set()).add(i)
+    # every url maps to exactly one id, and distinct urls never share one
+    assert all(len(v) == 1 for v in ids_by_url.values())
+    assert len({next(iter(v)) for v in ids_by_url.values()}) == len(ids_by_url)
+    # min-url claimant keeps the original id; unique ids untouched
+    assert ids_by_url["https://a.example/1"] == {7}
+    assert ids_by_url["https://b.example/x"] == {9}
+    # repeated captures kept a single shared id AND both rows survive
+    assert sum(1 for u, _ in got if u == "https://a.example/2") == 1
+    assert out.count() == 5
+    # deterministic: same input => same assignment
+    got2 = {(r["url"], r["doc_id"]) for r in resolve_id_collisions(df).collect()}
+    assert got2 == got
+
+
+def test_tune_split_size_guard(spark):
+    """Missing / non-local / manifest-only paths must fall back to the
+    128 MB default instead of clamping every later scan to the 1 MB floor."""
+    from webcrawler_spark.plans.pipeline import tune_split_size
+
+    for path in ("/nonexistent/warehouse", "s3://bucket/stage", "hdfs://nn/x"):
+        assert tune_split_size(spark, path) == 128 << 20
+        assert (
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+            == str(128 << 20)
+        )
+
+
+def test_substring_equal_length_gated(spark):
+    """Identical texts are exact-kind edges, never substring edges; proper
+    substrings still verify; the pair verdicts are unchanged otherwise."""
+    from webcrawler_spark.operators.suffix import substring_containment
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "beta gamma delta"),                      # substring of 1
+            (4, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["is_substring"]
+        for r in substring_containment(pairs, docs).collect()
+    }
+    assert (1, 2) not in got          # equal-length pair gated out entirely
+    assert got[(1, 3)] is True
+    assert got[(1, 4)] is False
+
+
+def test_build_edges_persisted_out_unpersists(sigs, docs_df):
+    """The cleanup hook must hand back exactly the internally persisted
+    intermediates, and unpersisting them must not break the edge result."""
+    held = []
+    edges = build_edges(sigs, CFG, docs=docs_df, persisted_out=held)
+    n = edges.count()
+    assert len(held) == 2
+    for df in held:
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+        df.unpersist()
+    assert edges.count() == n  # recomputable after unpersist
 
 
 def test_dedup_clusters_on_driver_testdata(spark):

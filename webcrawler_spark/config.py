@@ -27,6 +27,19 @@ class DedupConfig:
     # tables with ~32-bit keys. 16-bit single-block keys saturate at ~65k
     # buckets (pair count O(n^2/2^16)); 3-block keys push that to 2^32.
     simhash_blocks: int = 6
+    # SimHash edges in the flagship union: OFF by default. Hamming <= 3 over
+    # the 64-bit shingle fingerprint empirically implies near-identical
+    # shingle sets, so simhash pairs are a subset of the Jaccard closure the
+    # MinHash path already resolves — but "empirically a subset" is not a
+    # guarantee, and one simhash-only link on a foreign corpus would make the
+    # flagship's brute-force SQL oracle (which cannot express blake2b
+    # hamming) diverge spuriously. SimHash therefore runs as its own
+    # driver-verified operator (queries.simhash_consistency + pytest parity
+    # vs the numpy oracle) rather than as a flagship edge kind; flipping this
+    # on restores the belt-and-braces union (engine + numpy oracle both obey
+    # the flag). Side benefit at scale: the sim-block bucket stream is ~20
+    # keys/doc — skipping it nearly halves the edges-stage bucket exchange.
+    simhash_edges: bool = False
     seed: int = 42
 
     # --- containment (anchor-sampled substring pass, SURVEY B8) ---

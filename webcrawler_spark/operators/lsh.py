@@ -261,10 +261,16 @@ def unified_capped_buckets(
     anchors = sigs.select(
         F.lit("anchor").alias("gen"), F.explode("anchors").alias("key"), F.col("doc_id")
     )
-    sims = sigs.filter(F.col("n_shingles") > 0).select(
-        F.lit("sim").alias("gen"), F.explode("sim_blocks").alias("key"), F.col("doc_id")
-    )
-    buckets = bands.unionByName(anchors).unionByName(sims)
+    buckets = bands.unionByName(anchors)
+    if cfg.simhash_edges:
+        # the sim-block stream is ~C(6,3)=20 keys/doc — only pay for it when
+        # simhash edges are part of the union (config.py rationale)
+        sims = sigs.filter(F.col("n_shingles") > 0).select(
+            F.lit("sim").alias("gen"),
+            F.explode("sim_blocks").alias("key"),
+            F.col("doc_id"),
+        )
+        buckets = buckets.unionByName(sims)
 
     wo = Window.partitionBy("gen", "key").orderBy("doc_id")
     wc = Window.partitionBy("gen", "key")
@@ -320,10 +326,14 @@ def unified_candidates(
 
 
 def build_edges(
-    sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, docs: DataFrame | None = None
+    sigs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    docs: DataFrame | None = None,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """B9: union of exact, verified near-dup, containment, simhash and (when
-    ``docs`` is provided and cfg.substring_pass) exact-substring edges.
+    """B9: union of exact, verified near-dup, containment, (optionally,
+    cfg.simhash_edges) simhash, and (when ``docs`` is provided and
+    cfg.substring_pass) exact-substring edges.
 
     Jaccard/containment verification runs ONCE over the union of LSH and
     anchor candidates (a pair found by either generator qualifies through
@@ -331,8 +341,15 @@ def build_edges(
     suffix-array stage of the north rule) reuses the anchor tier-1 survivors
     as candidates — exact substring implies shingle containment ~1, so no
     extra candidate generation is needed — and verifies smaller-text-in-
-    larger-text with a C-level search over the co-located pair texts.
-    ``docs`` needs columns (doc_id, text).
+    larger-text with a C-level search, shipping each needed text once per
+    doc (length-gated pair pruning + semi-joined text table, suffix.py)
+    instead of once per pair. ``docs`` needs columns (doc_id, text).
+
+    ``persisted_out``: when given, the internally persisted intermediates
+    (capped buckets, candidate pairs) are appended so the caller can
+    ``unpersist()`` them after the returned edges are materialized — callers
+    that checkpoint edges to a stage table should always do this (the
+    blocks are dead weight for the rest of the job otherwise).
     """
     # one bucket exchange feeds candidate pairs AND the kept-anchor counts
     # (the tier-1 denominator) — the counts previously re-exploded and
@@ -340,6 +357,8 @@ def build_edges(
     # two consumers, spills to disk automatically if it outgrows memory
     capped = unified_capped_buckets(sigs, cfg).persist()
     cand = _pairs_from_unified(capped).persist()
+    if persisted_out is not None:
+        persisted_out += [capped, cand]
     kept_counts = (
         capped.filter(F.col("gen") == "anchor")
         .groupBy("doc_id")
@@ -356,7 +375,6 @@ def build_edges(
         .unionByName(anchor_kept)
         .distinct()
     )
-    sim_cand = cand.filter(F.col("gen") == "sim").select("a", "b")
     verified = verify_candidates(jac_cand, sigs, cfg)
     # signature mode verifies against estimated metrics => lower tau by the
     # estimator margin (recall over precision for dedup edges)
@@ -374,8 +392,10 @@ def build_edges(
         "b",
         F.explode(F.filter(kinds, lambda x: x.isNotNull())).alias("kind"),
     )
-    sim = simhash_edges(sim_cand, sigs, cfg)
-    out = exact_edges(sigs).unionByName(jc_edges).unionByName(sim)
+    out = exact_edges(sigs).unionByName(jc_edges)
+    if cfg.simhash_edges:
+        sim_cand = cand.filter(F.col("gen") == "sim").select("a", "b")
+        out = out.unionByName(simhash_edges(sim_cand, sigs, cfg))
     if docs is not None and cfg.substring_pass:
         from webcrawler_spark.operators.suffix import substring_containment
 

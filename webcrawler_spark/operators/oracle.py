@@ -196,23 +196,29 @@ def run_oracle(
 
     # B8 exact-substring pass: anchor tier-1 survivors verified for verbatim
     # smaller-text-in-larger-text containment (mirrors build_edges' reuse of
-    # the anchor candidate stream)
+    # the anchor candidate stream). Equal-length pairs are gated out before
+    # any text is compared — a PROPER substring needs differing lengths, and
+    # identical texts are already exact edges (suffix.substring_containment).
     if cfg.substring_pass:
         texts = dict(docs)
         for a, b in sorted(res.anchor_candidates):
             x, y = texts[a] or "", texts[b] or ""
+            if len(x) == len(y):
+                continue
             small, big = (x, y) if len(x) <= len(y) else (y, x)
             if small and small in big:
                 res.substring_pairs.add((a, b))
 
-    # B9/B10/B11
+    # B9/B10/B11 (simhash edges join the union only when configured —
+    # config.simhash_edges rationale)
     res.all_pairs = (
         res.exact_pairs
         | res.near_dup_pairs
-        | res.simhash_pairs
         | res.containment_pairs
         | res.substring_pairs
     )
+    if cfg.simhash_edges:
+        res.all_pairs = res.all_pairs | res.simhash_pairs
     dsu = DisjointSet()
     for doc_id, _ in docs:
         dsu.find(doc_id)

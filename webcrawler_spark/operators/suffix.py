@@ -6,11 +6,30 @@ of doc B) for candidate pairs, and provides a per-partition generalized
 suffix-array discovery utility for within-partition mining.
 
 Scale design: candidates come from the anchor stage (shared rare shingles),
-verification co-locates only the candidate pairs' texts (join by id), and
+verification co-locates only the candidate pairs' texts (length-gated pair
+pruning + one semi-joined needed-texts table, shipped once per doc), and
 the per-pair check is O(|B|) Two-Way search inside an Arrow batch. A global
 suffix array over 10^12 docs is infeasible; the per-partition variant after
-repartitioning on an anchor prefix is the bounded alternative — what the
-anchor sampling can miss is logged, never silent (SURVEY.md section 7).
+repartitioning on an anchor prefix is the bounded alternative.
+
+Documented miss classes of the anchor-sampled candidate stream (what the
+sampling can structurally NOT see — stated here and mirrored in the SQL
+oracle's preconditions rather than claimed away, SURVEY.md section 7):
+
+1. contained doc shorter than shingle_w tokens — its whole-sequence
+   fallback shingle can never equal one of the container's w-gram hashes;
+2. contained doc with zero kept anchors — none of its shingle hashes is
+   ≡ 0 (mod anchor_mod), odds (1-1/mod)^m for m shingles (~1e-6 at m=100,
+   mod=8; only very short docs are realistically at risk), or every one of
+   its anchors sits in an oversize-dropped boilerplate bucket;
+3. char-level substrings that are token-misaligned for MOST of their
+   length (a misaligned prefix only corrupts the leading shingle windows,
+   so long occurrences still share enough anchors in practice).
+
+For true substring pairs OUTSIDE those classes the tier-1 estimate is
+exactly 1 (every kept anchor of the contained doc is, by the substring
+relation, a kept anchor of the container), so the anchor stream finds them
+deterministically — not w.h.p.
 """
 
 from __future__ import annotations
@@ -38,11 +57,45 @@ def substring_containment(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """pairs(a, b) + docs(doc_id, text) -> exact substring verdicts.
 
     The smaller text is searched inside the larger (str in str — C-level
-    Two-Way algorithm). Empty texts never contain/are-contained.
+    Two-Way algorithm). Scale shape:
+
+    - **Length gate first** (scalar join, no text moves): a pair can only be
+      a PROPER substring when the byte lengths differ — equal lengths imply
+      either identical texts (already an exact edge from the sha256
+      pre-pass; re-verifying them here would be redundant work on corpora
+      with heavy exact duplication) or no containment at all. Pairs with an
+      empty side are dropped too (empty never contains/is-contained).
+    - **Texts ship once per doc, not once per pair**: the gated pair set is
+      semi-joined back to docs, so a hub doc appearing in k candidate pairs
+      contributes ONE row to the needed-texts table; with AQE that table is
+      typically small enough to broadcast into the pair join, so no text
+      bytes cross a shuffle at all.
+
+    NOTE semantics change vs the pre-gate version: identical-text pairs now
+    return no row (they are exact-kind edges, not substring edges).
     """
-    ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
-    joined = pairs.join(ta, "a").join(tb, "b")
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    la = lens.select(F.col("doc_id").alias("a"), F.col("_len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("b"), F.col("_len").alias("len_b"))
+    gated = (
+        pairs.join(la, "a")
+        .join(lb, "b")
+        .filter(
+            (F.col("len_a") != F.col("len_b"))
+            & (F.least("len_a", "len_b") > 0)
+        )
+        .select("a", "b")
+    )
+    needed = docs.join(
+        gated.select(F.col("a").alias("doc_id"))
+        .unionByName(gated.select(F.col("b").alias("doc_id")))
+        .distinct(),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "text")
+    ta = needed.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = needed.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    joined = gated.join(ta, "a").join(tb, "b")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -123,6 +176,10 @@ def partition_containment_pairs(
         chunks.append(sep)
         off += len(sep)
     corpus = b"".join(chunks)
+    # owner lookup in O(log n): spans are laid out in ascending start order,
+    # so the doc containing byte `pos` is the last start <= pos
+    starts = np.fromiter((s for s, _ in spans), dtype=np.int64, count=len(spans))
+    ends = np.fromiter((e for _, e in spans), dtype=np.int64, count=len(spans))
 
     out: list[tuple[int, int]] = []
     for i, (did, seq) in enumerate(zip(doc_ids, token_seqs)):
@@ -139,11 +196,8 @@ def partition_containment_pairs(
                 continue
             if spans[i][0] <= pos < spans[i][1]:
                 continue  # own occurrence
-            # owner = doc whose span contains pos
-            j = next(
-                (k for k, (s, e) in enumerate(spans) if s <= pos < e), None
-            )
-            if j is not None and doc_ids[j] != did:
+            j = int(np.searchsorted(starts, pos, side="right")) - 1
+            if j >= 0 and pos < ends[j] and doc_ids[j] != did:
                 out.append((did, doc_ids[j]))
                 break
     return sorted(set(out))

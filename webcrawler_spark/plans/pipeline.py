@@ -21,7 +21,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webcrawler_spark.config import DEFAULT_CONFIG, DedupConfig
@@ -96,14 +96,33 @@ def tune_split_size(
     abundant tasks and this returns the 128 MB cap. Session-conf based
     (Spark exposes no per-scan knob); physical scans read the conf at
     execution, so setting it before each stage's action is race-free in the
-    sequential pipeline."""
+    sequential pipeline.
+
+    Only meaningful for a POSIX-local warehouse: for a remote path (s3://,
+    hdfs://, ...), a missing directory, or a catalog-managed format (the
+    iceberg stage path holds only the JSON manifest) os.walk sees ~nothing
+    and the old behavior clamped every later scan to the 1 MB floor —
+    exploding task counts at exactly the scale this function exists for.
+    Those cases now RESTORE the 128 MB default and return it untouched."""
+    default = 128 << 20
+    local = path if "://" not in path else (
+        path[len("file://"):] if path.startswith("file://") else None
+    )
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith("_"):
-                total += os.path.getsize(os.path.join(root, f))
+    if local is not None and os.path.isdir(local):
+        for root, _dirs, files in os.walk(local):
+            for f in files:
+                if not f.startswith("_"):
+                    total += os.path.getsize(os.path.join(root, f))
+    elif local is not None and os.path.isfile(local):
+        total = os.path.getsize(local)
+    if total <= 0:
+        # non-local / missing / manifest-only: fall back to the Spark default
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(default))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+        return default
     cores = spark.sparkContext.defaultParallelism
-    per = max(1 << 20, min(128 << 20, total // max(1, cores * waves_per_core)))
+    per = max(1 << 20, min(default, total // max(1, cores * waves_per_core)))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(per))
     spark.conf.set(
         "spark.sql.files.openCostInBytes", str(max(per // 8, 128 << 10))
@@ -111,13 +130,73 @@ def tune_split_size(
     return per
 
 
+def resolve_id_collisions(
+    docs: DataFrame, key_col: str = "url", id_col: str = "doc_id",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Make ``id_col`` collision-free across distinct ``key_col`` values.
+
+    At 10^12 docs a raw xxhash64(url) id has ~n^2/2^65 ≈ 27k expected
+    birthday collisions, each silently fusing two unrelated documents into
+    one cluster — unacceptable for a dedup engine whose output IS the id
+    equivalence. Rather than widening every downstream operator (signatures,
+    edges, union-find, oracles) to a 128-bit composite, collisions are
+    RESOLVED: per round, find ids claimed by >1 distinct key (a tiny
+    aggregate on one int64 column), broadcast that set, and deterministically
+    re-key all but the first (min-key) claimant with a salted rehash. Rows
+    sharing the same key keep the same id on purpose (repeated captures of
+    one url are the same document identity). Deterministic given the input
+    key set; expected rounds ~2 (27k * n / 2^64 ≈ 1e-3 residuals after one).
+
+    The per-round collision probe is one shuffle over (id, key) scalars —
+    the cheapest possible full pass — and the common zero-collision round
+    exits without touching the data."""
+    out = docs
+    for salt in range(1, max_rounds + 1):
+        dup_ids = (
+            out.groupBy(id_col)
+            .agg(F.count_distinct(key_col).alias("_nk"))
+            .filter(F.col("_nk") > 1)
+            .select(id_col)
+        )
+        if dup_ids.isEmpty():
+            return out
+        # split via broadcast flag so the re-rank window shuffles ONLY the
+        # colliding rows (a few per collision), never the full table
+        flagged = out.join(
+            F.broadcast(dup_ids.withColumn("_dup", F.lit(True))), id_col, "left"
+        )
+        clean = flagged.filter(F.col("_dup").isNull()).drop("_dup")
+        w = Window.partitionBy(id_col).orderBy(key_col)
+        rekeyed = (
+            flagged.filter(F.col("_dup").isNotNull())
+            .withColumn("_rk", F.dense_rank().over(w))
+            .withColumn(
+                id_col,
+                F.when(
+                    F.col("_rk") > 1,
+                    F.xxhash64(F.col(key_col), F.lit(salt)),
+                ).otherwise(F.col(id_col)),
+            )
+            .drop("_dup", "_rk")
+        )
+        out = clean.unionByName(rekeyed)
+    raise RuntimeError(
+        f"resolve_id_collisions: collisions persisted after {max_rounds} rounds"
+    )
+
+
 def with_doc_ids(docs: DataFrame) -> DataFrame:
-    """Stable doc ids: keep an input doc_id column when present, else
-    xxhash64(url) (collision odds ~n^2/2^64 — swap to a 2-column 128-bit id
-    for a true 10^12-doc deployment; noted in SURVEY section 7)."""
+    """Stable, collision-free doc ids: keep an input doc_id column when
+    present, else xxhash64(url) with deterministic birthday-collision
+    resolution (resolve_id_collisions) — the int64 plumbing of every
+    downstream stage stays intact while the id remains unique per url at
+    any corpus size."""
     if "doc_id" in docs.columns:
         return docs
-    return docs.withColumn("doc_id", F.xxhash64("url"))
+    return resolve_id_collisions(
+        docs.withColumn("doc_id", F.xxhash64("url"))
+    )
 
 
 def run_pipeline(
@@ -167,7 +246,12 @@ def run_pipeline(
     storage.record_partition_skew("signatures", sigs)
 
     tune_split_size(spark, storage.stage_path("signatures"))
-    edges = timed_stage("edges", lambda: build_edges(sigs, cfg, docs=docs))
+    held: list[DataFrame] = []
+    edges = timed_stage(
+        "edges", lambda: build_edges(sigs, cfg, docs=docs, persisted_out=held)
+    )
+    for df in held:  # edges are committed to the stage table — the cached
+        df.unpersist()  # candidate intermediates are dead weight from here
 
     clusters = timed_stage(
         "clusters",
