@@ -78,13 +78,11 @@ def connected_components(
     )
     prev_fp = None
     for _ in range(max_iterations):
-        # TWO large-star/small-star rounds per checkpoint + fingerprint: the
-        # per-round localCheckpoint barrier and the 2-scalar fingerprint
-        # collect dominate wall time once the edge set is small (the stage
-        # is latency-bound, BENCH/BASELINE.md) — batching halves the barrier
-        # count; a converged graph is a fixpoint of the composed map, so the
-        # termination test is unchanged (at worst one extra cheap round).
-        cur = _small_star(_large_star(cur))
+        # one large-star/small-star round per checkpoint + fingerprint.
+        # (Batching two rounds per barrier was tried to cut driver
+        # round-trips and MEASURED SLOWER at every scale probed — real
+        # graphs converge in 1-3 effective rounds, so the extra star passes
+        # cost more than the barriers they save.)
         cur = _small_star(_large_star(cur)).localCheckpoint()
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:

@@ -78,17 +78,31 @@ def _anchor_tier1(
     drop — the estimator stays unbiased however much boilerplate the corpus
     carries (dividing by ALL anchors collapses recall on dense corpora).
     Scalar-only join — the expensive shingle arrays never move for the
-    (vast) rejected majority."""
-    ka = kept_counts.select(F.col("doc_id").alias("a"), F.col("n_kept").alias("kept_a"))
-    kb = kept_counts.select(F.col("doc_id").alias("b"), F.col("n_kept").alias("kept_b"))
+    (vast) rejected majority.
+
+    When ``kept_counts`` carries an extra ``n_chars`` column, the survivors
+    come out as (a, b, len_a, len_b) — build_edges piggybacks the substring
+    pass's length gate on this join so it costs zero additional joins."""
+    with_len = "n_chars" in kept_counts.columns
+    ka = kept_counts.select(
+        F.col("doc_id").alias("a"),
+        F.col("n_kept").alias("kept_a"),
+        *([F.col("n_chars").alias("len_a")] if with_len else []),
+    )
+    kb = kept_counts.select(
+        F.col("doc_id").alias("b"),
+        F.col("n_kept").alias("kept_b"),
+        *([F.col("n_chars").alias("len_b")] if with_len else []),
+    )
     thresh = cfg.containment_tau - cfg.anchor_est_margin
+    out_cols = ["a", "b"] + (["len_a", "len_b"] if with_len else [])
     return (
         pairs_with_shared.join(ka, "a")
         .join(kb, "b")
         .filter(
             F.col("n_shared") / F.least("kept_a", "kept_b") >= F.lit(thresh)
         )
-        .select("a", "b")
+        .select(*out_cols)
     )
 
 
@@ -364,6 +378,12 @@ def build_edges(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_kept"))
     )
+    if docs is not None and cfg.substring_pass:
+        # one scalar join on the (small) kept-anchor doc set threads n_chars
+        # through tier-1 so the substring length gate needs no pair joins
+        kept_counts = kept_counts.join(
+            sigs.select("doc_id", "n_chars"), "doc_id"
+        )
     anchor_kept = _anchor_tier1(
         cand.filter(F.col("gen") == "anchor").select("a", "b", "n_shared"),
         kept_counts,
@@ -372,7 +392,7 @@ def build_edges(
     jac_cand = (
         cand.filter(F.col("gen") == "lsh")
         .select("a", "b")
-        .unionByName(anchor_kept)
+        .unionByName(anchor_kept.select("a", "b"))
         .distinct()
     )
     verified = verify_candidates(jac_cand, sigs, cfg)
@@ -397,10 +417,16 @@ def build_edges(
         sim_cand = cand.filter(F.col("gen") == "sim").select("a", "b")
         out = out.unionByName(simhash_edges(sim_cand, sigs, cfg))
     if docs is not None and cfg.substring_pass:
-        from webcrawler_spark.operators.suffix import substring_containment
+        from webcrawler_spark.operators.suffix import verify_substring_pairs
 
-        # anchor tier-1 survivors double as substring candidates
-        sub = substring_containment(anchor_kept, docs)
+        # anchor tier-1 survivors double as substring candidates; the length
+        # gate (differing non-zero n_chars — equal lengths are exact edges
+        # or nothing) rides the tier-1 columns, costing zero extra joins
+        gated = anchor_kept.filter(
+            (F.col("len_a") != F.col("len_b"))
+            & (F.least("len_a", "len_b") > 0)
+        ).select("a", "b")
+        sub = verify_substring_pairs(gated, docs)
         out = out.unionByName(
             sub.filter(F.col("is_substring")).select(
                 "a", "b", F.lit("substring").alias("kind")

