@@ -121,15 +121,24 @@ def main() -> None:
     args = ap.parse_args()
 
     e2e_json = os.path.join(os.path.dirname(args.out), "e2e_scaling.json")
+    run_key = f"{args.docs}@{args.cores_small}v{args.cores_large}"
 
     def _load_runs() -> dict:
         if os.path.exists(e2e_json):
             with open(e2e_json) as fh:
                 data = json.load(fh)
-            if "runs" in data:
-                return data
-            # migrate single-run layout
-            return {"runs": {str(data["docs"]): data}, "latest": str(data["docs"])}
+            if "runs" not in data:  # migrate single-run layout
+                data = {"runs": {str(data["docs"]): data}, "latest": str(data["docs"])}
+            # migrate docs-only keys to docs@NvM (runs carry their cores)
+            migrated = {}
+            for k, v in data["runs"].items():
+                kk = k if "@" in k else f"{k}@{v['cores'][0]}v{v['cores'][1]}"
+                migrated[kk] = v
+            data["runs"] = migrated
+            if data.get("latest") and "@" not in data["latest"]:
+                old = data["latest"]
+                data["latest"] = next(k for k in migrated if k.startswith(old + "@"))
+            return data
         return {"runs": {}, "latest": None}
 
     if args.render_only:
@@ -171,7 +180,7 @@ def main() -> None:
         r32["stage_walls"] = min(large_runs, key=lambda r: r["wall_secs"])["stage_walls"]
         os.makedirs(os.path.dirname(e2e_json), exist_ok=True)
         data = _load_runs()
-        prev = data["runs"].get(str(args.docs))
+        prev = data["runs"].get(run_key)
         if prev:  # merge reps across invocations: min wall wins per config
             for cur, old in ((r8, prev["small"]), (r32, prev["large"])):
                 cur["all_walls"] = old.get("all_walls", []) + cur["all_walls"]
@@ -182,13 +191,18 @@ def main() -> None:
                         cur["stage_walls"] = old["stage_walls"]
         speedup = r8["wall_secs"] / r32["wall_secs"]
         efficiency = speedup / (args.cores_large / args.cores_small)
-        data["runs"][str(args.docs)] = {
+        data["runs"][run_key] = {
             "docs": args.docs,
             "cores": [args.cores_small, args.cores_large],
             "shuffle_partitions": args.shuffle_partitions,
             "small": r8, "large": r32,
         }
-        data["latest"] = str(max(int(k) for k in data["runs"]))
+        # headline = this invocation's cores pair at its largest corpus
+        same_pair = [
+            k for k, v in data["runs"].items()
+            if v["cores"] == [args.cores_small, args.cores_large]
+        ]
+        data["latest"] = max(same_pair, key=lambda k: data["runs"][k]["docs"])
         with open(e2e_json, "w") as fh:
             json.dump(data, fh, indent=1)
         data_latest = data["runs"][data["latest"]]
@@ -204,8 +218,11 @@ def main() -> None:
 
     # corpus-size trend: fixed stage-graph latency amortizes with input size
     trend_section = ""
+    headline_cores = [args.cores_small, args.cores_large]
+    every_run = list(_load_runs()["runs"].values())
     all_runs = sorted(
-        (_load_runs()["runs"]).values(), key=lambda r: r["docs"]
+        (r for r in every_run if r["cores"] == headline_cores),
+        key=lambda r: r["docs"],
     )
     if len(all_runs) > 1:
         rows = "\n".join(
@@ -221,6 +238,28 @@ def main() -> None:
 
 | docs | T_N (s) | T_4N (s) | speedup | efficiency |
 |---|---|---|---|---|
+{rows}
+
+"""
+    other_runs = sorted(
+        (r for r in every_run if r["cores"] != headline_cores),
+        key=lambda r: (r["cores"], r["docs"]),
+    )
+    if other_runs:
+        rows = "\n".join(
+            "| {n}v{m} | {d} | {ts} | {tl} | {sp:.2f}x | **{ef:.3f}** |".format(
+                n=r["cores"][0], m=r["cores"][1], d=r["docs"],
+                ts=r["small"]["wall_secs"], tl=r["large"]["wall_secs"],
+                sp=r["small"]["wall_secs"] / r["large"]["wall_secs"],
+                ef=r["small"]["wall_secs"] / r["large"]["wall_secs"]
+                / (r["cores"][1] / r["cores"][0]),
+            )
+            for r in other_runs
+        )
+        trend_section += f"""## Other measured N -> 4N configurations (same protocol, raw numbers)
+
+| cores (N v 4N) | docs | T_N (s) | T_4N (s) | speedup | raw efficiency |
+|---|---|---|---|---|---|
 {rows}
 
 """
@@ -309,11 +348,14 @@ planted dup families, 3 mega-domains at ~30% of rows)
 
 - raw warm walls (min taken; host is noisy-neighbor-variable): N {r8.get('all_walls')} · 4N {r32.get('all_walls')}
 - speedup T_N / T_4N = **{speedup:.2f}x**
-- scaling efficiency = speedup / 4 = **{efficiency:.3f}** (target >= 0.8)
-- normalized to the measured host-CPU ceiling for 4 -> 16 concurrent
-  processes (3.72x, calibration below): **{speedup / 3.72:.2f}** — the
-  engine delivers {speedup / 3.72:.0%} of the parallelism this host can
-  physically supply to 4x the workers
+- **RAW scaling efficiency = speedup / 4 = {efficiency:.3f} — target >= 0.8:
+  {"PASS" if efficiency >= 0.8 else "NOT MET at this corpus size"}.**
+  The raw number is the gate; no normalization is applied to it.
+- supporting context (not a substitute for the gate): the measured
+  host-CPU ceiling for 4 -> 16 concurrent processes on this shared box is
+  3.72x (calibration below), i.e. a PERFECT engine could show at most
+  0.93 here; against that ceiling the engine delivers
+  {speedup / 3.72:.0%} of the physically available parallelism
 - result parity across runs: edges {r8['edges']} == {r32['edges']},
   clusters {r8['clusters']} == {r32['clusters']} -> {"identical" if (r8['edges'], r8['clusters']) == (r32['edges'], r32['clusters']) else "MISMATCH"}
 
