@@ -342,6 +342,30 @@ def test_build_edges_persisted_out_unpersists(sigs, docs_df):
     assert edges.count() == n  # recomputable after unpersist
 
 
+def test_dedup_filter_reuses_clusters_memo(spark):
+    """One union-find execution per contract sweep: dedup_filter must reuse
+    the exact DataFrame object q_dedup_clusters memoized for this session,
+    and the filter result must be consistent with it."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    from webcrawler_spark.plans import queries as Q
+
+    Q.clear_clusters_cache()
+    clusters = Q.q_dedup_clusters(spark, sf)
+    assert Q.q_dedup_clusters(spark, sf) is clusters  # memo hit
+    kept = {r["doc_id"] for r in Q.q_dedup_filter(spark, sf).collect()}
+    canon = {
+        r["doc_id"] for r in clusters.collect()
+        if r["doc_id"] == r["cluster_id"]
+    }
+    assert kept == canon
+    Q.clear_clusters_cache()
+    assert Q.q_dedup_clusters(spark, sf) is not clusters
+
+
 def test_dedup_clusters_on_driver_testdata(spark):
     """Engine == oracle on the driver's REAL documents table (sf0.001), not
     just the synthetic corpus — guards tokenizer/hashing drift on foreign
