@@ -114,6 +114,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2,
                     help="median-of-N, runs interleaved (small,large)x N to "
                          "cancel host-load drift")
+    ap.add_argument("--no-headline", action="store_true",
+                    help="record this run in e2e_scaling.json but keep the "
+                         "existing 'latest' headline pointer (for context "
+                         "pairs like 4v16 / 3v12 measured alongside the "
+                         "gated 2v8 headline)")
     ap.add_argument("--render-only", action="store_true",
                     help="re-render the report from BENCH/e2e_scaling.json "
                          "(e.g. after stage/recall companion runs) without "
@@ -136,8 +141,15 @@ def main() -> None:
                 migrated[kk] = v
             data["runs"] = migrated
             if data.get("latest") and "@" not in data["latest"]:
+                # legacy pointer may reference a docs count no longer present
+                # (or shared by several cores-pairs): resolve it if unique,
+                # else recompute as the largest-corpus run
                 old = data["latest"]
-                data["latest"] = next(k for k in migrated if k.startswith(old + "@"))
+                hits = [k for k in migrated if k.startswith(old + "@")]
+                data["latest"] = hits[0] if len(hits) == 1 else (
+                    max(migrated, key=lambda k: migrated[k]["docs"])
+                    if migrated else None
+                )
             return data
         return {"runs": {}, "latest": None}
 
@@ -198,18 +210,23 @@ def main() -> None:
             "small": r8, "large": r32,
         }
         # headline = this invocation's cores pair at its largest corpus
-        same_pair = [
-            k for k, v in data["runs"].items()
-            if v["cores"] == [args.cores_small, args.cores_large]
-        ]
-        data["latest"] = max(same_pair, key=lambda k: data["runs"][k]["docs"])
+        # (unless --no-headline: context pairs never displace the gated one)
+        if not (args.no_headline and data.get("latest")):
+            same_pair = [
+                k for k, v in data["runs"].items()
+                if v["cores"] == [args.cores_small, args.cores_large]
+            ]
+            data["latest"] = max(same_pair, key=lambda k: data["runs"][k]["docs"])
         with open(e2e_json, "w") as fh:
             json.dump(data, fh, indent=1)
         data_latest = data["runs"][data["latest"]]
-        if data_latest["docs"] != args.docs:
-            # headline stays the largest corpus; re-point r8/r32 for render
+        if (data_latest["docs"] != args.docs
+                or data_latest["cores"] != [args.cores_small, args.cores_large]):
+            # headline stays the pinned run; re-point r8/r32 for render
             r8, r32 = data_latest["small"], data_latest["large"]
             args.docs = data_latest["docs"]
+            args.cores_small, args.cores_large = data_latest["cores"]
+            args.shuffle_partitions = data_latest["shuffle_partitions"]
             speedup = r8["wall_secs"] / r32["wall_secs"]
             efficiency = speedup / (args.cores_large / args.cores_small)
 

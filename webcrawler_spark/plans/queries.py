@@ -1003,14 +1003,17 @@ def q_minhash_dup_pairs(spark, sf_dir):
 
 
 # brute-force shingle pair metrics shared by the dedup oracles: exact
-# 5-gram Jaccard and containment over distinct word-5-gram sets
-_SQL_PAIR_METRICS = """
+# w-gram Jaccard and containment over distinct word-w-gram sets
+# (w = DEFAULT_CONFIG.shingle_w, interpolated — DuckDB list slices are
+# inclusive, so t[i:i+w-1] is a w-token window)
+_SQL_PAIR_METRICS = f"""
 toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
-  WHERE len(string_split(text, ' ')) >= 5
+  WHERE len(string_split(text, ' ')) >= {DEFAULT_CONFIG.shingle_w}
 ), sh AS (
   SELECT DISTINCT doc_id,
-         unnest([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS shingle
+         unnest([array_to_string(t[i:i+{DEFAULT_CONFIG.shingle_w - 1}], ' ')
+                 for i in range(1, len(t) - {DEFAULT_CONFIG.shingle_w - 2})]) AS shingle
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -1057,13 +1060,15 @@ def q_substring_dup_pairs(spark, sf_dir):
 
 
 # brute-force exact-substring pairs under the engine's preconditions:
-# contained side >= shingle_w tokens, strictly different lengths
-_SQL_SUBSTRING_PRED = """
+# contained side >= shingle_w tokens, strictly different lengths.
+# shingle_w is interpolated from DEFAULT_CONFIG so a config change can
+# never silently desynchronize oracle and engine.
+_SQL_SUBSTRING_PRED = f"""
 length(a.text) <> length(b.text)
   AND CASE WHEN length(a.text) < length(b.text)
-           THEN len(string_split(a.text, ' ')) >= 5
+           THEN len(string_split(a.text, ' ')) >= {DEFAULT_CONFIG.shingle_w}
                 AND position(a.text IN b.text) > 0
-           ELSE len(string_split(b.text, ' ')) >= 5
+           ELSE len(string_split(b.text, ' ')) >= {DEFAULT_CONFIG.shingle_w}
                 AND position(b.text IN a.text) > 0 END
 """
 
@@ -1082,6 +1087,26 @@ def q_simhash_fingerprints(spark, sf_dir):
     return _doc_signatures(spark, sf_dir).select("doc_id", "simhash")
 
 
+# shared constants of the simhash property probe — single source for BOTH
+# the engine query and its SQL oracle (interpolated below), so neither side
+# can drift alone. MIN_TOKENS picks docs long enough that the planted
+# variant edit touches only a small fraction of shingles; VARIANT_HAMMING
+# is the separation boundary (measured: variants <= 10 bits, shingle-
+# disjoint docs >= 21 bits at sf0.001/sf0.01).
+SIMHASH_PROBE_MIN_TOKENS = 50
+SIMHASH_VARIANT_HAMMING = 15
+
+
+def _shingle_array(text_col):
+    """Array of word-w-gram shingle strings (JVM-side, probe scale)."""
+    w = DEFAULT_CONFIG.shingle_w
+    toks = F.split(text_col, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - w),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+    )
+
+
 def q_simhash_consistency(spark, sf_dir):
     """B7 driver gate: SQL-checkable PROPERTIES of the engine SimHash.
 
@@ -1098,17 +1123,22 @@ def q_simhash_consistency(spark, sf_dir):
       tokens) a 4-shingle delta measurably flips up to ~10 bits (measured
       max 10 at sf0.01 / 9 at sf0.001), so 3 is not a sound planted claim;
       15 is the separation boundary with margin on both sides.
-    - ``random``: hamming > 15 for consecutive distinct base docs
-      (measured min 21 at sf0.001, 24 at sf0.01 — unrelated docs
-      concentrate near hamming ~32).
+    - ``random``: hamming > 15 for consecutive SHINGLE-DISJOINT base docs
+      (measured min 21 at sf0.001, 24 at sf0.01 — docs sharing no w-gram
+      concentrate near hamming ~32). Pairs whose texts share any shingle
+      are excluded from this family by construction (on BOTH sides), so a
+      foreign corpus with near-identical docs at consecutive doc_ids can
+      never be claimed as "random".
 
     The oracle derives the same counts from the family construction alone:
-    every pair must satisfy its kind's property."""
+    every pair must satisfy its kind's property. Corpora with < 1 base doc
+    (or no disjoint consecutive pair) emit no row for the missing kind on
+    either side."""
     from webcrawler_spark.operators.signatures import compute_signatures
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
-    base = docs.filter(F.size(toks) >= 50)
+    base = docs.filter(F.size(toks) >= SIMHASH_PROBE_MIN_TOKENS)
     copies = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     variants = base.select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
@@ -1129,10 +1159,19 @@ def q_simhash_consistency(spark, sf_dir):
         F.lit("variant").alias("kind"),
     )
     # consecutive-base pairing (global window: ~hundreds of scalar rows at
-    # contract scale — this is a property probe, not a scale path)
+    # contract scale — this is a property probe, not a scale path), keeping
+    # only shingle-disjoint pairs so planted-duplicate neighbors can never
+    # land in the "random" family
+    w = Window.orderBy("doc_id")
     rand_pairs = (
-        base_ids.withColumn("b", F.lead("doc_id").over(Window.orderBy("doc_id")))
+        base.withColumn("b", F.lead("doc_id").over(w))
+        .withColumn("text_b", F.lead("text").over(w))
         .filter(F.col("b").isNotNull())
+        .filter(
+            ~F.arrays_overlap(
+                _shingle_array(F.col("text")), _shingle_array(F.col("text_b"))
+            )
+        )
         .select(F.col("doc_id").alias("a"), "b", F.lit("random").alias("kind"))
     )
     pairs = copy_pairs.unionByName(var_pairs).unionByName(rand_pairs)
@@ -1141,8 +1180,8 @@ def q_simhash_consistency(spark, sf_dir):
     ham = F.expr("bit_count(fp_a ^ fp_b)")
     satisfied = (
         F.when(F.col("kind") == "copy", F.col("fp_a") == F.col("fp_b"))
-        .when(F.col("kind") == "variant", ham <= 15)
-        .otherwise(ham > 15)
+        .when(F.col("kind") == "variant", ham <= SIMHASH_VARIANT_HAMMING)
+        .otherwise(ham > SIMHASH_VARIANT_HAMMING)
     )
     return (
         pairs.join(fa, "a")
@@ -1155,15 +1194,32 @@ def q_simhash_consistency(spark, sf_dir):
     )
 
 
-SQL_SIMHASH_CONSISTENCY = """
+# mirrors q_simhash_consistency's construction exactly: same MIN_TOKENS
+# gate, same consecutive pairing, same shingle-disjoint filter for the
+# "random" family; HAVING guards drop kinds with zero pairs (the engine's
+# groupBy never emits them), so tiny/foreign corpora stay in agreement
+SQL_SIMHASH_CONSISTENCY = f"""
 WITH base AS (
-  SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) >= 50
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {SIMHASH_PROBE_MIN_TOKENS}
+), consec AS (
+  SELECT doc_id AS a, lead(doc_id) OVER (ORDER BY doc_id) AS b,
+         t AS ta, lead(t) OVER (ORDER BY doc_id) AS tb
+  FROM base
+), disjoint AS (
+  SELECT a, b FROM consec
+  WHERE b IS NOT NULL AND len(list_intersect(
+    [array_to_string(ta[i:i+{DEFAULT_CONFIG.shingle_w - 1}], ' ')
+     for i in range(1, len(ta) - {DEFAULT_CONFIG.shingle_w - 2})],
+    [array_to_string(tb[i:i+{DEFAULT_CONFIG.shingle_w - 1}], ' ')
+     for i in range(1, len(tb) - {DEFAULT_CONFIG.shingle_w - 2})])) = 0
 )
 SELECT 'copy' AS kind, count(*) AS n_pairs, count(*) AS n_satisfied FROM base
+HAVING count(*) > 0
 UNION ALL
-SELECT 'variant', count(*), count(*) FROM base
+SELECT 'variant', count(*), count(*) FROM base HAVING count(*) > 0
 UNION ALL
-SELECT 'random', count(*) - 1, count(*) - 1 FROM base
+SELECT 'random', count(*), count(*) FROM disjoint HAVING count(*) > 0
 """
 
 
@@ -1171,8 +1227,15 @@ SELECT 'random', count(*) - 1, count(*) - 1 FROM base
 # the SAME assignments DataFrame (whose union-find work is materialized in
 # localCheckpoints at build time) instead of re-running the engine. Keyed by
 # session identity so a fresh SparkSession never sees another session's
-# checkpointed RDDs. bench.py clears this between timed reps.
-_CLUSTERS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# checkpointed RDDs — (applicationId, startTime), NOT id(spark): CPython
+# reuses object ids after GC, so a later session could otherwise inherit a
+# memo bound to a stopped SparkContext. bench.py clears this between reps.
+_CLUSTERS_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+
+
+def _session_key(spark) -> tuple[str, int]:
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def clear_clusters_cache() -> None:
@@ -1190,7 +1253,7 @@ def q_dedup_clusters(spark, sf_dir):
     from webcrawler_spark.operators.components import assign_clusters
     from webcrawler_spark.operators.lsh import build_edges
 
-    key = (id(spark), sf_dir)
+    key = (*_session_key(spark), sf_dir)
     hit = _CLUSTERS_CACHE.get(key)
     if hit is not None:
         return hit
