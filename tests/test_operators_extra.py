@@ -91,11 +91,64 @@ def test_multimodal_features(spark):
     assert by_id[3]["content_hash"] == hashlib.sha256(b"abc").hexdigest()
 
 
-def test_multimodal_codec_mode_stubbed(spark):
+def test_multimodal_codec_unsupported_formats_raise(spark):
     from webcrawler_spark.operators.multimodal import _decode_payload
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):  # PNG needs a real image lib
         _decode_payload("image", b"\x89PNG", mode="codec")
+    with pytest.raises(NotImplementedError):  # mp3 is not RIFF/WAVE
+        _decode_payload("audio", b"ID3\x04" + b"\x00" * 64, mode="codec")
+
+
+def test_multimodal_codec_decoders_bit_exact():
+    from webcrawler_spark.operators.multimodal import (
+        _decode_payload,
+        encode_ppm,
+        encode_wav,
+    )
+
+    ppm = encode_ppm(8, 6, seed=3)
+    px = _decode_payload("image", ppm, mode="codec")
+    assert px.dtype == np.uint8 and len(px) == 8 * 6 * 3
+    # raster is the tail of the payload, byte-for-byte
+    assert px.tobytes() == ppm[-8 * 6 * 3 :]
+
+    wav = encode_wav(100, seed=2)
+    samples = _decode_payload("audio", wav, mode="codec")
+    assert samples.dtype == np.uint8 and len(samples) == 100
+    raw = np.frombuffer(wav[-200:], "<i2").astype(np.int32)
+    assert np.array_equal(samples, ((raw + 32768) >> 8).astype(np.uint8))
+
+    stream = b"".join(encode_ppm(6, 4, seed=s) for s in range(3))
+    frames = _decode_payload("video", stream, mode="codec")
+    assert len(frames) == 3 * 6 * 4 * 3
+
+    # PPM comment headers parse too
+    commented = b"P6\n# fixture\n2 2\n255\n" + bytes(12)
+    assert len(_decode_payload("image", commented, mode="codec")) == 12
+
+
+def test_multimodal_codec_mode_through_spark(spark):
+    """The codec branch runs end-to-end under mapInPandas: features are
+    computed over DECODED samples (not payload bytes), so n_bytes reflects
+    raster/sample counts and differs from len(payload)."""
+    from webcrawler_spark.operators.multimodal import (
+        extract_features,
+        synth_codec_assets,
+    )
+
+    assets = synth_codec_assets(spark, 9)
+    feats = {r["asset_id"]: r for r in extract_features(assets, mode="codec").collect()}
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    assert len(feats) == 9
+    for aid, row in feats.items():
+        assert row["n_bytes"] > 0
+        assert row["n_bytes"] < len(payloads[aid])  # headers stripped
+        assert abs(sum(row["histogram"]) - 1.0) < 1e-5
+        assert row["frames_sampled"] >= 1
+    img = next(r for r in feats.values() if r["kind"] == "image")
+    w, h = 8 + img["asset_id"] % 5, 6 + img["asset_id"] % 4
+    assert img["n_bytes"] == w * h * 3
 
 
 def test_substring_containment(spark):

@@ -2,10 +2,14 @@
 
 Spark-side plumbing is real (schema, Arrow batching, partition-friendly
 feature extraction); the actual codec work is isolated behind
-``_decode_payload`` — the image/audio libraries are NOT in this container,
-so decode runs a deterministic fallback (byte-level features) and raises
-``NotImplementedError`` only for ``mode="codec"``. Swapping in PIL/ffmpeg
-later changes ONE function, not the pipeline.
+``_decode_payload``. ``mode="bytes"`` is the always-available byte-level
+view; ``mode="codec"`` runs REAL pure-numpy decoders for the trivial
+containers parseable without external libraries — binary PPM (P6) images,
+PCM WAV (8/16-bit) audio, and concatenated-P6 "video" streams — and raises
+``NotImplementedError`` for anything else (JPEG/MP3/MP4 need PIL/ffmpeg,
+not in this container). Swapping in richer codecs changes ONE function,
+not the pipeline; the codec branch itself is exercised under pytest on
+synthesized PPM/WAV fixtures (tests/test_operators_extra.py).
 
 Assets table schema:
   asset_id:long, kind:string ('image'|'audio'|'video'), payload:binary,
@@ -45,15 +49,86 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+import re
+
+_PPM_HEADER = re.compile(rb"P6\s+(?:#[^\n]*\s+)?(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _decode_ppm(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Binary PPM (P6): header 'P6 <w> <h> <maxval>' + w*h*3 raster bytes.
+    Returns (flat uint8 pixels, end offset) so streams can be walked."""
+    m = _PPM_HEADER.match(payload, offset)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM rasters not supported")
+    n = w * h * 3
+    if len(payload) - m.end() < n:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(payload, np.uint8, count=n, offset=m.end()), m.end() + n
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV (RIFF/WAVE, 8- or 16-bit): samples as a uint8 view (16-bit
+    samples are shifted to their high byte so downstream byte-level features
+    stay type-stable across modalities)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"only PCM 8/16-bit WAV (fmt={audio_format}, bits={bits})")
+    if bits == 8:
+        return np.frombuffer(data, np.uint8)
+    samples = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.int32)
+    return ((samples + 32768) >> 8).astype(np.uint8)
+
+
+def _decode_ppm_stream(payload: bytes) -> np.ndarray:
+    """'Video' container: back-to-back P6 frames; decoded frames concatenate
+    into one sample array (frame boundaries re-emerge via _frame_sample)."""
+    frames, off = [], 0
+    while off < len(payload):
+        frame, off = _decode_ppm(payload, off)
+        frames.append(frame)
+    if not frames:
+        raise ValueError("empty PPM stream")
+    return np.concatenate(frames)
+
+
 def _decode_payload(kind: str, payload: bytes, mode: str = "bytes") -> np.ndarray:
     """Codec boundary. mode='bytes' => deterministic byte-level view (always
-    available); mode='codec' => real decode, NOT available in this container.
-    """
+    available); mode='codec' => real pure-numpy decode for PPM / PCM-WAV /
+    concatenated-PPM payloads, NotImplementedError beyond those."""
     if mode == "codec":
-        raise NotImplementedError(
-            "real image/audio/video decoding requires PIL/soundfile/ffmpeg, "
-            "not installed in this environment — plug the codec in here"
-        )
+        try:
+            if kind == "image":
+                return _decode_ppm(payload)[0]
+            if kind == "audio":
+                return _decode_wav(payload)
+            if kind == "video":
+                return _decode_ppm_stream(payload)
+        except ValueError as exc:
+            raise NotImplementedError(
+                f"codec mode decodes PPM/PCM-WAV/PPM-stream only; this "
+                f"{kind} payload needs a real codec (PIL/soundfile/ffmpeg, "
+                f"not installed here): {exc}"
+            ) from exc
+        raise NotImplementedError(f"unknown asset kind {kind!r}")
     return np.frombuffer(payload, dtype=np.uint8)
 
 
@@ -103,6 +178,44 @@ def extract_features(assets: DataFrame, mode: str = "bytes") -> DataFrame:
     return assets.select("asset_id", "kind", "payload").mapInPandas(
         gen, schema=FEATURE_SCHEMA
     )
+
+
+def encode_ppm(w: int, h: int, seed: int = 0) -> bytes:
+    """Deterministic binary-PPM fixture (valid P6, formula raster)."""
+    raster = ((np.arange(w * h * 3, dtype=np.int64) * 31 + seed * 97) % 256)
+    return f"P6\n{w} {h}\n255\n".encode() + raster.astype(np.uint8).tobytes()
+
+
+def encode_wav(n_samples: int, seed: int = 0, rate: int = 8000) -> bytes:
+    """Deterministic PCM-16 mono WAV fixture (valid RIFF, formula samples)."""
+    s = ((np.arange(n_samples, dtype=np.int64) * (1234 + seed * 7)) % 65536
+         - 32768).astype("<i2")
+    data = s.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+def synth_codec_assets(spark, n: int) -> DataFrame:
+    """Deterministic decodable assets: PPM images, PCM WAVs, and 3-frame PPM
+    streams, round-robin by asset_id — the codec-mode counterpart of
+    synth_assets (which yields opaque text bytes)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            payload = encode_ppm(8 + i % 5, 6 + i % 4, seed=i)
+        elif kind == "audio":
+            payload = encode_wav(256 + 32 * (i % 7), seed=i)
+        else:
+            payload = b"".join(encode_ppm(6, 4, seed=i * 10 + f) for f in range(3))
+        rows.append((i, kind, payload, {"seed": str(i)}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
 def synth_assets(spark, docs: DataFrame) -> DataFrame:
