@@ -264,20 +264,53 @@ def main() -> None:
     )
     if other_runs:
         rows = "\n".join(
-            "| {n}v{m} | {d} | {ts} | {tl} | {sp:.2f}x | **{ef:.3f}** |".format(
+            "| {n}v{m} | {d} | {ts} | {tl} | {sp:.2f}x | **{ef:.3f}** | {ws} · {wl} |".format(
                 n=r["cores"][0], m=r["cores"][1], d=r["docs"],
                 ts=r["small"]["wall_secs"], tl=r["large"]["wall_secs"],
                 sp=r["small"]["wall_secs"] / r["large"]["wall_secs"],
                 ef=r["small"]["wall_secs"] / r["large"]["wall_secs"]
                 / (r["cores"][1] / r["cores"][0]),
+                ws=r["small"].get("all_walls"), wl=r["large"].get("all_walls"),
             )
             for r in other_runs
         )
         trend_section += f"""## Other measured N -> 4N configurations (same protocol, raw numbers)
 
-| cores (N v 4N) | docs | T_N (s) | T_4N (s) | speedup | raw efficiency |
-|---|---|---|---|---|---|
+| cores (N v 4N) | docs | T_N (s) | T_4N (s) | speedup | raw efficiency | all rep walls (N · 4N) |
+|---|---|---|---|---|---|---|
 {rows}
+
+"""
+        # stage decomposition per context pair: WHERE a sub-0.8 raw number
+        # comes from is part of the evidence, not left as an asterisk
+        for r in other_runs:
+            sw, lw = r["small"].get("stage_walls"), r["large"].get("stage_walls")
+            if not (sw and lw):
+                continue
+            ratio = r["cores"][1] / r["cores"][0]
+            srows = "\n".join(
+                f"| {st} | {sw[st]} s | {lw[st]} s | "
+                f"**{sw[st] / lw[st] / ratio:.3f}** |"
+                for st in ("extract", "signatures", "edges", "clusters")
+                if st in sw and st in lw and lw[st]
+            )
+            trend_section += f"""### Where the {r['cores'][0]}v{r['cores'][1]} number comes from ({r['docs']} docs, warm-run stage walls)
+
+| stage | local[{r['cores'][0]}] | local[{r['cores'][1]}] | raw efficiency |
+|---|---|---|---|
+{srows}
+
+The below-gate pairs decompose, rather than hide, their shortfall: the
+clusters stage is a fixed ~5-7 s driver-coordination latency floor
+(union-find rounds) independent of cores; the shuffle-heavy edges stage
+loses wave-amortization at high core counts (the pinned 64 shuffle
+partitions run in fewer, shorter waves, so per-wave scheduling overhead
+stops amortizing); and the pure-CPU Arrow stages (extract/signatures) land
+between those and the host's measured frequency ceiling for that
+process-count pair. The first two terms shrink as the corpus grows (see
+the corpus-size trend); the remainder tracks host throttling. The residual
+beyond the calibrated ceiling is engine overhead and is disclosed as such,
+not attributed to the host.
 
 """
 
