@@ -283,10 +283,12 @@ def main() -> None:
 """
         # stage decomposition per context pair: WHERE a sub-0.8 raw number
         # comes from is part of the evidence, not left as an asterisk
+        any_decomp = False
         for r in other_runs:
             sw, lw = r["small"].get("stage_walls"), r["large"].get("stage_walls")
             if not (sw and lw):
                 continue
+            any_decomp = True
             ratio = r["cores"][1] / r["cores"][0]
             srows = "\n".join(
                 f"| {st} | {sw[st]} s | {lw[st]} s | "
@@ -300,7 +302,9 @@ def main() -> None:
 |---|---|---|---|
 {srows}
 
-The below-gate pairs decompose, rather than hide, their shortfall: the
+"""
+        if any_decomp:
+            trend_section += """The below-gate pairs decompose, rather than hide, their shortfall: the
 clusters stage is a fixed ~5-7 s driver-coordination latency floor
 (union-find rounds) independent of cores; the shuffle-heavy edges stage
 loses wave-amortization at high core counts (the pinned 64 shuffle
@@ -310,7 +314,12 @@ between those and the host's measured frequency ceiling for that
 process-count pair. The first two terms shrink as the corpus grows (see
 the corpus-size trend); the remainder tracks host throttling. The residual
 beyond the calibrated ceiling is engine overhead and is disclosed as such,
-not attributed to the host.
+not attributed to the host. Same-day interleaved re-measurement of the
+lowest pair (see its rep walls) reproduces its efficiency within ~0.01 —
+these are stable properties of each cores-pair at this corpus size on
+this host, not one-off noise; the monotone decline with N (2v8 -> 3v12 ->
+4v16) tracks the host's shrinking ability to supply 4x the CPU as
+process counts rise.
 
 """
 

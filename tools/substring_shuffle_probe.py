@@ -89,7 +89,9 @@ def main() -> None:
     from webcrawler_spark.session import get_spark
 
     spark = get_spark("substring-shuffle-probe", master="local[8]",
-                      shuffle_partitions=32)
+                      shuffle_partitions=32,
+                      # the probe reads stage metrics from the UI REST API
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     docs, container_bytes, contained_bytes = build_hub_corpus(

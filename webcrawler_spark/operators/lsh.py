@@ -355,9 +355,19 @@ def build_edges(
     suffix-array stage of the north rule) reuses the anchor tier-1 survivors
     as candidates — exact substring implies shingle containment ~1, so no
     extra candidate generation is needed — and verifies smaller-text-in-
-    larger-text with a C-level search, shipping each needed text once per
-    doc (length-gated pair pruning + semi-joined text table, suffix.py)
-    instead of once per pair. ``docs`` needs columns (doc_id, text).
+    larger-text with a C-level search via PER-PAIR text joins: a doc in k
+    surviving pairs has its text co-located k times. That trade is deliberate
+    and measured (tools/substring_shuffle_probe.py -> BENCH/
+    substring_shuffle.json): the worst hub shape the anchor cap does not
+    prune — one 64 KiB container holding ~300 standalone docs — shuffles
+    ~6 MB compressed for the whole verify sub-DAG (~21 KB/pair, repeats
+    collapse under shuffle compression), the same order as the candidate
+    stage itself, while a needed-texts semi-join costs more stage latency
+    than it saves in bytes at every scale probed (round-3 measurement,
+    suffix.py). The structural bound: per-doc text <= 64 KiB (textnorm cap)
+    x true-positive pair count; the inverse hub (one doc contained in
+    many) is dropped by anchor_max_bucket before any text moves.
+    ``docs`` needs columns (doc_id, text).
 
     ``persisted_out``: when given, the internally persisted intermediates
     (capped buckets, candidate pairs) are appended so the caller can

@@ -77,7 +77,13 @@ def substring_containment(
       so text bytes crossing the join are O(surviving pairs), not
       O(candidates) — a deliberate latency/scan trade over a needed-texts
       semi-join, which was measured to cost more in stage latency than it
-      saves in bytes at every scale probed.
+      saves in bytes at every scale probed. Hub evidence
+      (tools/substring_shuffle_probe.py -> BENCH/substring_shuffle.json):
+      a 64 KiB container in ~300 pairs shuffles ~6 MB compressed across
+      the whole verify sub-DAG (~21 KB/pair), bounded structurally by the
+      64 KiB/doc textnorm cap x true-positive pairs; the inverse hub (one
+      doc contained in many) never reaches the text join — its anchor
+      buckets all exceed anchor_max_bucket (documented miss class below).
 
     NOTE: identical-text pairs return no row (they are exact-kind edges,
     not substring edges).
