@@ -371,3 +371,56 @@ def test_windowed_ingest_watermark(spark, tmp_path):
     if got:
         assert got[("2025-01-01 00:00:00", "d1.ex")] == 2
         assert got[("2025-01-01 00:00:00", "d2.ex")] == 1
+
+
+def test_simhash_consistency_guards_tiny_and_near_dup_corpora(spark, tmp_path):
+    """Engine and DuckDB oracle agree on degenerate contract tables (ADVICE
+    r3): (a) ONE >=50-token base doc => copy/variant rows only, NO 'random'
+    row on either side (previously the SQL emitted n_pairs = -1/0 rows the
+    engine never produces); (b) near-identical docs at consecutive doc_ids
+    are excluded from the 'random' family by the shingle-disjoint pairing,
+    so they cannot spuriously fail the hamming > threshold property."""
+    import duckdb
+
+    from webcrawler_spark.plans.queries import (
+        SQL_SIMHASH_CONSISTENCY,
+        q_simhash_consistency,
+    )
+
+    def run_both(rows):
+        sf = tmp_path / f"sf_{len(rows)}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+        got = {
+            r["kind"]: (r["n_pairs"], r["n_satisfied"])
+            for r in q_simhash_consistency(spark, str(sf)).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{sf}/documents.parquet/*.parquet')"
+        )
+        want = {
+            k: (int(np_), int(ns))
+            for k, np_, ns in con.sql(SQL_SIMHASH_CONSISTENCY).fetchall()
+        }
+        return got, want
+
+    long_a = " ".join(f"alpha{i}" for i in range(60))
+    # (a) single qualifying base doc: no consecutive pair => no random kind
+    got, want = run_both([(1, long_a), (2, "too short")])
+    assert got == want
+    assert set(got) == {"copy", "variant"}
+    assert got["copy"] == (1, 1) and got["variant"] == (1, 1)
+
+    # (b) foreign corpus with a planted near-duplicate at the next doc_id:
+    # texts share almost every shingle => the pair is NOT in 'random', and
+    # a genuinely disjoint doc still is
+    near_dup = long_a.replace("alpha59", "omega")  # differs in last token
+    disjoint = " ".join(f"beta{i}" for i in range(60))
+    got, want = run_both([(1, long_a), (2, near_dup), (3, disjoint)])
+    assert got == want
+    # consecutive pairs: (1,2) shares shingles -> excluded; (2,3) disjoint
+    assert got["random"] == (1, 1)
+    assert got["copy"] == (3, 3) and got["variant"] == (3, 3)
