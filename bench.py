@@ -70,10 +70,23 @@ def _dedup_stage_breakdown(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min host load — stamped into the output JSON so every recorded
+    bench carries its own contention evidence (the round-4 quiet-window
+    protocol, promoted into the harness). load1 >> 0 BEFORE the bench starts
+    means other work was running and the walls are suspect."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_before = _loadavg()
 
     spark = get_spark(
         "webcrawler-bench",
@@ -105,7 +118,9 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             walls.append(round(time.time() - t0, 3))
             if len(walls) >= reps and (
-                max(walls) / min(walls) <= 2.0 or len(walls) >= reps + 2
+                min(walls) == 0  # sub-ms rep: spread undefined, don't extend
+                or max(walls) / min(walls) <= 2.0
+                or len(walls) >= reps + 2
             ):
                 break
         timings[name] = min(walls)
@@ -127,6 +142,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "dedup_docs_per_sec": round(n_docs / dedup_secs, 1) if dedup_secs else None,
                 "cpus": int(cpus),
+                # before = pre-existing contention; after = mostly our own
+                # local[cpus] work plus anything that arrived mid-run
+                "host_load_before": load_before,
+                "host_load_after": _loadavg(),
             }
         )
     )

@@ -123,9 +123,28 @@ def test_multimodal_codec_decoders_bit_exact():
     frames = _decode_payload("video", stream, mode="codec")
     assert len(frames) == 3 * 6 * 4 * 3
 
-    # PPM comment headers parse too
+    # PPM comment headers parse too — including several, at any header gap
     commented = b"P6\n# fixture\n2 2\n255\n" + bytes(12)
     assert len(_decode_payload("image", commented, mode="codec")) == 12
+    multi = b"P6\n# one\n# two\n2 # w\n# gap\n2\n# before maxval\n255\n" + bytes(12)
+    assert len(_decode_payload("image", multi, mode="codec")) == 12
+
+
+def test_multimodal_wav_truncation_and_channels_fail_loudly():
+    """Damaged/unsupported WAVs must not decode into plausible features:
+    a truncated data chunk raises (mirroring the PPM truncation check) and
+    multi-channel PCM is a documented format boundary."""
+    from webcrawler_spark.operators.multimodal import _decode_payload, encode_wav
+
+    wav = encode_wav(100, seed=1)
+    with pytest.raises(NotImplementedError, match="truncated RIFF chunk"):
+        _decode_payload("audio", wav[:-10], mode="codec")  # short data chunk
+
+    stereo = bytearray(encode_wav(100, seed=1))
+    # fmt chunk body starts at offset 20; channels field is bytes 2:4 of it
+    stereo[22:24] = (2).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="channels=2"):
+        _decode_payload("audio", bytes(stereo), mode="codec")
 
 
 def test_multimodal_codec_mode_through_spark(spark):
@@ -424,3 +443,51 @@ def test_simhash_consistency_guards_tiny_and_near_dup_corpora(spark, tmp_path):
     # consecutive pairs: (1,2) shares shingles -> excluded; (2,3) disjoint
     assert got["random"] == (1, 1)
     assert got["copy"] == (3, 3) and got["variant"] == (3, 3)
+
+
+def test_image_dup_pairs_planted(spark):
+    """image near-dup: the LSH+rescore path finds EXACTLY the planted
+    perturbed copies (doc_id % IMG_COPY_MOD == 0 pairs with doc_id-1) and
+    nothing else — md5 rasters give unrelated images cosine <= ~0.17."""
+    from webcrawler_spark.operators.multimodal import (
+        IMG_COPY_MOD,
+        image_dup_pairs,
+        synth_image_corpus,
+    )
+
+    n = 120
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    assets = synth_image_corpus(spark, ids)
+    got = {
+        (r["asset_id_a"], r["asset_id_b"]): r["cosine"]
+        for r in image_dup_pairs(assets, threshold=0.9).collect()
+    }
+    expect = {
+        (d - 1, d)
+        for d in range(1, n)
+        if d % IMG_COPY_MOD == 0
+    }
+    assert set(got) == expect
+    assert all(0.9 <= c <= 1.0 for c in got.values())
+
+
+def test_image_profile_centered_exact(spark):
+    """profile = n*x_i - sum(x) over DECODED raster bytes, exact int64."""
+    from webcrawler_spark.operators.multimodal import (
+        IMG_N,
+        _image_nibbles,
+        extract_features,
+        synth_image_corpus,
+    )
+
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    feats = {
+        r["asset_id"]: r["profile"]
+        for r in extract_features(
+            synth_image_corpus(spark, ids), mode="codec", profile=True
+        ).collect()
+    }
+    for d in range(3):
+        nib = _image_nibbles(d)
+        want = (IMG_N * nib - nib.sum()).tolist()
+        assert feats[d] == want

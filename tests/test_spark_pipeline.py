@@ -389,3 +389,77 @@ def test_dedup_clusters_on_driver_testdata(spark):
     # sanity: the table contains actual near-dup structure to exercise
     n_nontrivial = sum(1 for d, c in got.items() if c != d)
     assert n_nontrivial > 0
+
+
+def test_incremental_dedup_matches_full_recompute(spark, docs_df):
+    """Increment + persisted state == batch recompute, doc for doc, on the
+    planted-family corpus (old = doc_id % 4 != 3, increment = the rest)."""
+    from webcrawler_spark.operators.incremental import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    old_docs = docs_df.filter(F.col("doc_id") % 4 != 3)
+    new_docs = docs_df.filter(F.col("doc_id") % 4 == 3)
+    state = build_dedup_state(old_docs, CFG)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_dedup(state, new_docs, docs_df, CFG).collect()
+    }
+
+    full_sigs = compute_signatures(docs_df, CFG).cache()
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in assign_clusters(
+            docs_df, build_edges(full_sigs, CFG, docs=docs_df)
+        ).collect()
+    }
+    assert got == full
+    # the corpus must actually exercise the increment: some new doc joins
+    # an existing (old-rooted) cluster
+    assert any(d % 4 == 3 and c % 4 != 3 for d, c in got.items())
+
+
+def test_incremental_bridge_merges_old_clusters(spark):
+    """A new doc bridging two previously-separate old clusters must merge
+    them (seeded union-find), and new-vs-new exact dups must link too."""
+    from webcrawler_spark.operators.incremental import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    # vocab chosen so BOTH texts have non-empty kept-anchor sets (verified:
+    # delta* -> 4 anchors, nova* -> 3 of 20 shingles) — a zero-anchor side
+    # is a documented miss class of the batch engine too, not an
+    # incremental-path property
+    base_a = " ".join(f"delta{i} deltax{i}" for i in range(12))
+    base_b = " ".join(f"nova{i} novax{i}" for i in range(12))
+    old = [
+        (1, base_a),
+        (2, base_a),            # exact dup of 1 -> old cluster {1,2}
+        (10, base_b),
+        (11, base_b),           # old cluster {10,11}
+    ]
+    # bridge: container holding BOTH old texts verbatim (substring edges to
+    # each side); plus a new-new exact dup pair
+    new = [
+        (20, base_a + " " + base_b),
+        (30, "lone new document with some totally original words here"),
+        (31, "lone new document with some totally original words here"),
+    ]
+    old_df = spark.createDataFrame(old, "doc_id long, text string")
+    all_df = spark.createDataFrame(old + new, "doc_id long, text string")
+    new_df = spark.createDataFrame(new, "doc_id long, text string")
+
+    state = build_dedup_state(old_df, CFG)
+    pre = {r["doc_id"]: r["cluster_id"] for r in state.assignments.collect()}
+    assert pre[2] == 1 and pre[11] == 10 and pre[1] != pre[10]
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_dedup(state, new_df, all_df, CFG).collect()
+    }
+    # the bridge merges {1,2} and {10,11} (+ 20 itself) under min id 1
+    assert got[1] == got[2] == got[10] == got[11] == got[20] == 1
+    # new-new exact pair clusters under its own min
+    assert got[30] == got[31] == 30

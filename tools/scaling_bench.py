@@ -270,7 +270,8 @@ def main() -> None:
                 sp=r["small"]["wall_secs"] / r["large"]["wall_secs"],
                 ef=r["small"]["wall_secs"] / r["large"]["wall_secs"]
                 / (r["cores"][1] / r["cores"][0]),
-                ws=r["small"].get("all_walls"), wl=r["large"].get("all_walls"),
+                ws=r["small"].get("all_walls", [r["small"]["wall_secs"]]),
+                wl=r["large"].get("all_walls", [r["large"]["wall_secs"]]),
             )
             for r in other_runs
         )

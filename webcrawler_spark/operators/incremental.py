@@ -1,0 +1,257 @@
+"""Incremental dedup: new-batch-vs-corpus without full recompute.
+
+A training-data pipeline adds a crawl increment and asks "which new docs
+duplicate the existing corpus?" — the content-level analog of the
+reference's resume-and-continue frontier semantics (administrator.go:251-276
+re-seeds the crawl from persisted state instead of restarting). The batch
+path (lsh.build_edges) recomputes everything; this module extends an
+existing run from its persisted stage outputs:
+
+- **state** = the capped unified bucket table (gen, key, doc_id), the
+  signature table, and the cluster assignments of the existing corpus —
+  exactly the stage outputs the pipeline already checkpoints (plans/
+  pipeline.py writes signatures + edges + assignments per stage; the bucket
+  table is one more ``unified_capped_buckets`` materialization).
+- an increment only touches bucket keys the NEW batch occupies: candidate
+  work is proportional to the batch, not the corpus. Old bucket rows are
+  fetched by key (at cluster scale: a bucketed/partitioned stage table —
+  the join shuffles only the new side), re-capped TOGETHER with the new
+  rows so the cap/drop policies see combined bucket sizes, and pairs with
+  at least one new side are verified exactly like the batch path
+  (new-vs-old and new-vs-new; old-vs-old pairs were already resolved and
+  are filtered out before any verify work).
+- assignments extend via union-find SEEDED with the existing cluster ids:
+  old components enter as (cluster_id, member) star edges, so a new doc
+  bridging two old clusters merges them exactly as a full recompute would,
+  and the min-root convention is preserved (min over the merged component
+  is the global min).
+
+Equivalence to full recompute (the driver-checked contract —
+``dedup_incremental``'s oracle is the full-recompute SQL over the
+concatenated corpus): candidate generation differs from the batch path
+only at cap boundaries. Anchor DROP semantics are replicated exactly
+(combined counts decide survival for touched keys; untouched keys keep
+their recorded survival). LSH bucket truncation keeps the cap smallest
+doc_ids; pre-capped old state is lossless for that policy when new doc_ids
+sort after old ones (append-only ingest — the standard increment shape).
+Where an increment widens a previously-dropped boundary case, the
+incremental path generates a SUPERSET of the batch path's candidates, and
+the exact verify keeps the emitted edge set sound either way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import DedupConfig, DEFAULT_CONFIG
+from webcrawler_spark.operators.components import assign_clusters
+from webcrawler_spark.operators.lsh import (
+    _anchor_tier1,
+    _pairs_from_unified,
+    build_edges,
+    unified_capped_buckets,
+    verify_candidates,
+)
+
+
+@dataclass(frozen=True)
+class DedupState:
+    """Persisted-stage view of an already-deduped corpus.
+
+    All three members are stage outputs (parquet/Iceberg tables at scale;
+    plain DataFrames in tests): ``sigs`` the signature table, ``buckets``
+    the capped unified bucket table, ``assignments`` (doc_id, cluster_id).
+    """
+
+    sigs: DataFrame
+    buckets: DataFrame
+    assignments: DataFrame
+
+
+def build_dedup_state(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, sigs: DataFrame | None = None
+) -> DedupState:
+    """Full batch pass over an existing corpus, returning the stage outputs
+    an increment needs. ``sigs`` may be supplied when the signature stage is
+    already materialized (the usual case for a resumed pipeline)."""
+    from webcrawler_spark.operators.signatures import compute_signatures
+
+    if sigs is None:
+        sigs = compute_signatures(docs, cfg)
+    sigs = sigs.persist()
+    edges = build_edges(sigs, cfg, docs=docs)
+    assignments = assign_clusters(docs, edges).select("doc_id", "cluster_id")
+    return DedupState(
+        sigs=sigs,
+        buckets=unified_capped_buckets(sigs, cfg),
+        assignments=assignments,
+    )
+
+
+def incremental_edges(
+    state: DedupState,
+    new_sigs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Edges with >= 1 new-batch side: exact / near / containment /
+    (cfg-gated) simhash / substring kinds, same thresholds and verify as
+    the batch path. ``docs`` (doc_id, text over old + new) enables the
+    substring pass, exactly as in ``build_edges``.
+
+    Scale shape: ``touched`` keys are bounded by |batch| x keys-per-doc;
+    every window/groupBy below runs over touched keys only. The one
+    corpus-sized input is the by-key fetch of old bucket rows — a join
+    against a key-partitioned stage table (big side stays put; at 10^12
+    docs the per-doc kept-anchor aggregate is itself a persisted stage
+    column, refreshed with the same touched-keys delta)."""
+    new_buckets = unified_capped_buckets(new_sigs, cfg).persist()
+    touched = new_buckets.select("gen", "key").distinct()
+    old_touched = state.buckets.join(touched, ["gen", "key"])
+    combined = old_touched.unionByName(new_buckets)
+
+    # re-decide the cap policies over the COMBINED membership of touched
+    # keys (same two windows as unified_capped_buckets): anchor buckets
+    # whose old+new size exceeds the drop cap vanish for everyone, exactly
+    # as a full recompute would decide
+    wo = Window.partitionBy("gen", "key").orderBy("doc_id")
+    wc = Window.partitionBy("gen", "key")
+    capped = (
+        combined.withColumn("rn", F.row_number().over(wo))
+        .withColumn("sz", F.count("*").over(wc))
+        .filter(
+            F.when(F.col("gen") == "anchor", F.col("sz") <= cfg.anchor_max_bucket)
+            .otherwise(F.col("rn") <= cfg.max_bucket_size)
+        )
+        .select("gen", "key", "doc_id")
+        .persist()
+    )
+
+    # candidate pairs over touched keys, then drop old-old pairs (already
+    # resolved in state.assignments — re-verifying them is pure waste)
+    new_ids = new_sigs.select("doc_id").distinct()
+    na = new_ids.select(F.col("doc_id").alias("a")).withColumn("a_new", F.lit(1))
+    nb = new_ids.select(F.col("doc_id").alias("b")).withColumn("b_new", F.lit(1))
+    cand = (
+        _pairs_from_unified(capped)
+        .join(na, "a", "left")
+        .join(nb, "b", "left")
+        .filter(F.col("a_new").isNotNull() | F.col("b_new").isNotNull())
+        .select("gen", "a", "b", "n_shared")
+        .persist()
+    )
+
+    all_sigs = state.sigs.unionByName(new_sigs)
+
+    # tier-1 kept-anchor denominators, combined-drop semantics: rows in
+    # untouched keys keep their recorded survival (their buckets gained no
+    # members), rows in touched keys take the re-decided verdict above
+    untouched_anchor = state.buckets.filter(F.col("gen") == "anchor").join(
+        touched, ["gen", "key"], "left_anti"
+    )
+    kept_rows = untouched_anchor.select("doc_id").unionByName(
+        capped.filter(F.col("gen") == "anchor").select("doc_id")
+    )
+    kept_counts = kept_rows.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    if docs is not None and cfg.substring_pass:
+        kept_counts = kept_counts.join(
+            all_sigs.select("doc_id", "n_chars"), "doc_id"
+        )
+
+    anchor_kept = _anchor_tier1(
+        cand.filter(F.col("gen") == "anchor").select("a", "b", "n_shared"),
+        kept_counts,
+        cfg,
+    )
+    jac_cand = (
+        cand.filter(F.col("gen") == "lsh")
+        .select("a", "b")
+        .unionByName(anchor_kept.select("a", "b"))
+        .distinct()
+    )
+    verified = verify_candidates(jac_cand, all_sigs, cfg)
+    margin = cfg.signature_tau_margin if cfg.verify_mode == "signature" else 0.0
+    kinds = F.array(
+        F.when(F.col("jaccard") >= cfg.jaccard_tau - margin, F.lit("near")),
+        F.when(
+            F.col("containment") >= cfg.containment_tau - margin,
+            F.lit("containment"),
+        ),
+    )
+    out = verified.select(
+        "a",
+        "b",
+        F.explode(F.filter(kinds, lambda x: x.isNotNull())).alias("kind"),
+    )
+
+    # exact (sha256) edges: new docs against the whole corpus (old + new) —
+    # a scalar hash join, never raw text
+    sha_new = new_sigs.select("sha256", F.col("doc_id").alias("nid"))
+    sha_all = all_sigs.select("sha256", F.col("doc_id").alias("oid"))
+    exact = (
+        sha_new.join(sha_all, "sha256")
+        .filter(F.col("nid") != F.col("oid"))
+        .select(
+            F.least("nid", "oid").alias("a"),
+            F.greatest("nid", "oid").alias("b"),
+            F.lit("exact").alias("kind"),
+        )
+        .distinct()
+    )
+    out = exact.unionByName(out)
+
+    if cfg.simhash_edges:
+        from webcrawler_spark.operators.lsh import simhash_edges
+
+        sim_cand = cand.filter(F.col("gen") == "sim").select("a", "b")
+        out = out.unionByName(simhash_edges(sim_cand, all_sigs, cfg))
+
+    if docs is not None and cfg.substring_pass:
+        from webcrawler_spark.operators.suffix import verify_substring_pairs
+
+        gated = anchor_kept.filter(
+            (F.col("len_a") != F.col("len_b"))
+            & (F.least("len_a", "len_b") > 0)
+        ).select("a", "b")
+        sub = verify_substring_pairs(gated, docs)
+        out = out.unionByName(
+            sub.filter(F.col("is_substring")).select(
+                "a", "b", F.lit("substring").alias("kind")
+            )
+        )
+    return out
+
+
+def incremental_assign(
+    state: DedupState, all_docs: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """(doc_id, cluster_id) over old + new docs: union-find over the new
+    edges SEEDED with the existing components (as root->member star edges,
+    which preserve old connectivity without re-deriving old-vs-old edges).
+    Identical to a full recompute's assignment whenever the incremental
+    edge set covers every true pair with a new side (module doc)."""
+    seed = (
+        state.assignments.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("cluster_id").alias("a"), F.col("doc_id").alias("b"))
+    )
+    edges = seed.unionByName(new_edges.select("a", "b"))
+    return assign_clusters(all_docs, edges).select("doc_id", "cluster_id")
+
+
+def incremental_dedup(
+    state: DedupState,
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Convenience end-to-end increment: signatures for the new batch only,
+    incremental edges, seeded assignment. ``all_docs`` = old + new (doc_id,
+    text) — used for the substring pass and the assignment's doc universe."""
+    from webcrawler_spark.operators.signatures import compute_signatures
+
+    new_sigs = compute_signatures(new_docs, cfg).persist()
+    edges = incremental_edges(state, new_sigs, cfg, docs=all_docs)
+    return incremental_assign(state, all_docs, edges)

@@ -51,7 +51,11 @@ FEATURE_SCHEMA = T.StructType(
 
 import re
 
-_PPM_HEADER = re.compile(rb"P6\s+(?:#[^\n]*\s+)?(\d+)\s+(\d+)\s+(\d+)\s")
+# comments ('#...' to end-of-line) may appear, repeatedly, at any header gap
+_PPM_GAP = rb"(?:#[^\n]*\s+)*"
+_PPM_HEADER = re.compile(
+    rb"P6\s+" + _PPM_GAP + rb"(\d+)\s+" + _PPM_GAP + rb"(\d+)\s+" + _PPM_GAP + rb"(\d+)\s"
+)
 
 
 def _decode_ppm(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -80,6 +84,10 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # mirror _decode_ppm's truncation check: a short data chunk must
+            # fail loudly, not decode into plausible-but-wrong features
+            raise ValueError("truncated RIFF chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -89,9 +97,13 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16):
-        raise NotImplementedError(f"only PCM 8/16-bit WAV (fmt={audio_format}, bits={bits})")
+    if audio_format != 1 or channels != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only mono PCM 8/16-bit WAV (fmt={audio_format}, "
+            f"channels={channels}, bits={bits})"
+        )
     if bits == 8:
         return np.frombuffer(data, np.uint8)
     samples = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.int32)
@@ -142,15 +154,35 @@ def _frame_sample(data: np.ndarray, kind: str, max_frames: int = 8) -> list[np.n
     return [data[s : s + 256] for s in starts]
 
 
-def extract_features(assets: DataFrame, mode: str = "bytes") -> DataFrame:
-    """assets -> per-asset features via one Arrow pass (vectorized numpy)."""
+def extract_features(
+    assets: DataFrame, mode: str = "bytes", profile: bool = False
+) -> DataFrame:
+    """assets -> per-asset features via one Arrow pass (vectorized numpy).
+
+    ``profile=True`` adds a ``profile`` column: the decoded sample array as
+    a CENTERED integer vector (n*x_i - sum(x), exact int64 arithmetic — no
+    float rounding to desynchronize engines), the content feature the
+    near-dup path scores cosine over. Centering matters: raw byte vectors
+    are all-positive with a dominant mean component, so their cosines
+    crowd toward 1 regardless of content; the centered cosine is the
+    Pearson correlation, ~0 for unrelated content. Sized for fixed-dim
+    thumbnail-normalized assets (16x16 here); at 100 TB the profile column
+    exists only on the thumbnail stage table, never on raw payloads."""
     import hashlib
+
+    names = ["asset_id", "kind", "n_bytes", "byte_entropy",
+             "histogram", "content_hash", "frames_sampled"]
+    schema = FEATURE_SCHEMA
+    if profile:
+        names.append("profile")
+        schema = T.StructType(
+            FEATURE_SCHEMA.fields
+            + [T.StructField("profile", T.ArrayType(T.LongType()))]
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {name: [] for name in
-                    ("asset_id", "kind", "n_bytes", "byte_entropy",
-                     "histogram", "content_hash", "frames_sampled")}
+            rows: dict[str, list] = {name: [] for name in names}
             for aid, kind, payload in zip(
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
@@ -173,10 +205,15 @@ def extract_features(assets: DataFrame, mode: str = "bytes") -> DataFrame:
                     hashlib.sha256(bytes(payload or b"")).hexdigest()
                 )
                 rows["frames_sampled"].append(len(frames))
+                if profile:
+                    d64 = data.astype(np.int64)
+                    rows["profile"].append(
+                        (len(d64) * d64 - d64.sum()).tolist()
+                    )
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "kind", "payload").mapInPandas(
-        gen, schema=FEATURE_SCHEMA
+        gen, schema=schema
     )
 
 
@@ -216,6 +253,118 @@ def synth_codec_assets(spark, n: int) -> DataFrame:
             payload = b"".join(encode_ppm(6, 4, seed=i * 10 + f) for f in range(3))
         rows.append((i, kind, payload, {"seed": str(i)}))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# ---- planted image near-dup corpus + detection -------------------------
+#
+# Deterministic "web image" corpus keyed by doc_id, with planted near-dups:
+# every doc_id % IMG_COPY_MOD == 0 (and > 0) is a lightly perturbed copy of
+# doc_id - 1's image (~1% of nibbles changed). Rasters are md5-derived so
+# they are pseudo-random (no modular-arithmetic aliasing between seeds) AND
+# closed-form reproducible in ANSI SQL (DuckDB md5() == hashlib.md5) — the
+# oracle recomputes them brute-force from doc_ids alone.
+
+IMG_W = IMG_H = 16
+IMG_N = IMG_W * IMG_H * 3          # 768 raster bytes
+IMG_MD5_BLOCKS = IMG_N // 32       # 24 md5 hexdigests of 32 chars
+IMG_COPY_MOD = 7                   # doc_id % 7 == 0 => near-copy of doc_id-1
+IMG_PERTURB_MOD = 97               # copies perturb nibbles where (i+d)%97==0
+
+
+def _image_nibbles(doc_id: int) -> np.ndarray:
+    """768 nibble values (0..15) for a doc's image; copies perturb ~8."""
+    s = doc_id - 1 if (doc_id % IMG_COPY_MOD == 0 and doc_id > 0) else doc_id
+    import hashlib
+
+    hx = "".join(
+        hashlib.md5(f"img:{s}:{k}".encode()).hexdigest()
+        for k in range(IMG_MD5_BLOCKS)
+    )
+    v = np.frombuffer(hx.encode(), np.uint8).astype(np.int64)
+    v = np.where(v >= ord("a"), v - ord("a") + 10, v - ord("0"))
+    if doc_id % IMG_COPY_MOD == 0 and doc_id > 0:
+        i = np.arange(IMG_N)
+        mask = (i + doc_id) % IMG_PERTURB_MOD == 0
+        v = np.where(mask, (v + 1 + doc_id % 11) % 16, v)
+    return v
+
+
+def synth_image_corpus(spark, ids: DataFrame) -> DataFrame:
+    """ids(doc_id) -> planted-near-dup image assets: valid P6 PPM payloads
+    whose 16x16 rasters are the md5-derived nibble streams above. Built in
+    one Arrow pass (fixture generation, not an engine hot path)."""
+    header = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "kind": [], "payload": [], "meta": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows["asset_id"].append(d)
+                rows["kind"].append("image")
+                rows["payload"].append(
+                    header + _image_nibbles(d).astype(np.uint8).tobytes()
+                )
+                rows["meta"].append({"seed": str(d)})
+            yield pd.DataFrame(rows)
+
+    return ids.select(F.col("doc_id").cast("long")).mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )
+
+
+def image_dup_pairs(
+    assets: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 48,
+    n_bits: int = 12,
+    seed: int = 42,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """Image near-dup pairs (asset_id_a < asset_id_b, cosine) over the REAL
+    codec branch: decode payloads (P6), take centered pixel profiles,
+    generate candidates with hyperplane-LSH (similarity.py — modality-
+    agnostic; the only shuffle is by (table, sig) bucket key, no crossJoin),
+    and exact-rescore with int64 dot products so both engines agree
+    bit-for-bit. At the default threshold 0.9 a qualifying pair is missed
+    by all 48 tables with p < ~3e-4 worst-case at the boundary and < 1e-9
+    for the planted-copy regime (cosine >= ~0.97); rescoring makes
+    precision exactly 1."""
+    from webcrawler_spark.operators.similarity import lsh_candidate_pairs
+
+    feats = (
+        extract_features(assets.filter(F.col("kind") == "image"),
+                         mode="codec", profile=True)
+        .select("asset_id", "profile")
+        .persist()
+    )
+    cand = lsh_candidate_pairs(
+        feats.withColumn("pd", F.col("profile").cast("array<double>")),
+        n_tables=n_tables, n_bits=n_bits, seed=seed,
+        id_col="asset_id", vec_col="pd", max_bucket=max_bucket,
+    )
+    a = feats.select(F.col("asset_id").alias("vec_id_a"), F.col("profile").alias("pa"))
+    b = feats.select(F.col("asset_id").alias("vec_id_b"), F.col("profile").alias("pb"))
+    dot = F.aggregate(
+        F.zip_with("pa", "pb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    na = F.aggregate("pa", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    nb = F.aggregate("pb", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .withColumn("na", na)
+        .withColumn("nb", nb)
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn("cosine", F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("vec_id_a").alias("asset_id_a"),
+            F.col("vec_id_b").alias("asset_id_b"),
+            "cosine",
+        )
+    )
 
 
 def synth_assets(spark, docs: DataFrame) -> DataFrame:

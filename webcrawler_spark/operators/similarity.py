@@ -99,8 +99,10 @@ def hyperplane_signatures(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # the input is pre-aliased to (vec_id, <vec_col>) below — always
+            # read "vec_id", not the caller's id_col name
             mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
-            ids = pdf[id_col].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
             out_ids, out_tbl, out_sig = [], [], []
             for t in range(n_tables):
                 bits = (mat @ planes[t].T) > 0  # (n, n_bits)

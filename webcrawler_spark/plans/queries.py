@@ -1405,6 +1405,111 @@ SELECT count(*) AS n_truth, count(*) AS n_found, 1.0::DOUBLE AS recall FROM trut
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup (the resume-and-continue semantics of
+    administrator.go:251-276 at content level): the corpus is split into an
+    existing 3/4 (doc_id % 4 != 3) and a new crawl increment (doc_id % 4 ==
+    3); the existing part is deduped once into persisted state (capped
+    bucket table + signatures + assignments — operators/incremental.py),
+    then ONLY the increment is signatured and joined against the state's
+    touched bucket keys, emitting new-vs-old and new-vs-new edges and
+    extending assignments via union-find seeded with the existing cluster
+    ids. The oracle is the FULL-RECOMPUTE answer over the concatenated
+    corpus (same recursive-CTE SQL as dedup_clusters): value-hash equality
+    proves increment + state == batch recompute, doc for doc."""
+    from webcrawler_spark.config import DEFAULT_CONFIG as _cfg
+    from webcrawler_spark.operators.incremental import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old_docs = docs.filter(F.col("doc_id") % 4 != 3)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 3)
+    state = build_dedup_state(old_docs, _cfg)
+    return incremental_dedup(state, new_docs, docs, _cfg)
+
+
+SQL_DEDUP_INCREMENTAL = SQL_DEDUP_CLUSTERS
+
+
+def q_multimodal_dup_pairs(spark, sf_dir):
+    """Multimodal (image) near-dup detection through the REAL codec branch:
+    each doc_id keys a deterministic 16x16 P6 PPM whose raster is an
+    md5-derived nibble stream, with planted near-copies (doc_id %
+    IMG_COPY_MOD == 0 perturbs ~1% of doc_id-1's nibbles —
+    multimodal.synth_image_corpus). The engine decodes payloads, takes
+    centered pixel profiles, generates candidates via hyperplane-LSH
+    (similarity.py, modality-agnostic, no crossJoin) and exact-rescores
+    with int64 dot products. The oracle reconstructs the same rasters in
+    SQL (DuckDB md5 == hashlib.md5) and scores ALL pairs brute-force —
+    equality is the recall check. Separation is wide (planted copies
+    cosine >= ~0.97, unrelated md5 rasters <= ~0.17 measured at 1000 ids),
+    so the 0.9 threshold sits in a structural void."""
+    from webcrawler_spark.operators.multimodal import (
+        image_dup_pairs,
+        synth_image_corpus,
+    )
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    assets = synth_image_corpus(spark, ids)
+    return image_dup_pairs(assets, threshold=0.9).select(
+        F.col("asset_id_a").alias("doc_id_a"),
+        F.col("asset_id_b").alias("doc_id_b"),
+        "cosine",
+    )
+
+
+# brute-force oracle: rebuild each doc's nibble raster from md5 hexdigests
+# (24 blocks of 32 hex chars => 768 nibbles), apply the planted-copy
+# perturbation, center exactly like the engine (768*x - sum, pure int64),
+# score all pairs. Constants interpolated from multimodal.py so neither
+# side can drift alone.
+def _sql_multimodal_dup_pairs() -> str:
+    from webcrawler_spark.operators.multimodal import (
+        IMG_COPY_MOD as CM,
+        IMG_MD5_BLOCKS as MB,
+        IMG_N as N,
+        IMG_PERTURB_MOD as PM,
+    )
+
+    return f"""
+WITH seeds AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CM} = 0 AND doc_id > 0
+              THEN doc_id - 1 ELSE doc_id END AS s
+  FROM documents
+), hx AS (
+  SELECT doc_id,
+         string_agg(md5('img:' || s || ':' || k), '' ORDER BY k) AS h
+  FROM seeds, range(0, {MB}) t(k)
+  GROUP BY doc_id
+), nib AS (
+  SELECT doc_id,
+         [CASE WHEN doc_id % {CM} = 0 AND doc_id > 0
+                    AND (i - 1 + doc_id) % {PM} = 0
+               THEN (instr('0123456789abcdef', h[i]) - 1 + 1 + doc_id % 11) % 16
+               ELSE instr('0123456789abcdef', h[i]) - 1 END
+          for i in range(1, {N + 1})] AS v
+  FROM hx
+), prof AS (
+  SELECT doc_id,
+         list_transform(v, x -> {N} * x - list_sum(v)::BIGINT) AS f
+  FROM nib
+), dots AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         round(list_sum(list_transform(list_zip(a.f, b.f), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.f, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.f, x -> x * x)))), 6) AS cosine
+  FROM prof a JOIN prof b ON a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, cosine FROM dots WHERE cosine >= 0.9
+"""
+
+
+SQL_MULTIMODAL_DUP_PAIRS = _sql_multimodal_dup_pairs()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1449,4 +1554,6 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_filter": (q_dedup_filter, SQL_DEDUP_FILTER),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "multimodal_dup_pairs": (q_multimodal_dup_pairs, SQL_MULTIMODAL_DUP_PAIRS),
 }
