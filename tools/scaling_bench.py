@@ -70,6 +70,13 @@ def _stage_walls(wh: str) -> dict | None:
         return None
 
 
+# set by --clean-warehouses: rm each run's warehouse right after its stage
+# walls are harvested (everything the report needs is already in memory) —
+# required at the 2M+ corpus points, where four ~14 GB warehouses would
+# otherwise exhaust /tmp mid-bench
+CLEAN_WAREHOUSES = False
+
+
 def run_once(input_path: str, cores: int, shuffle_partitions: int, base: str) -> dict:
     wh = tempfile.mkdtemp(prefix=f"wh_{cores}_", dir=base)
     cmd = [
@@ -98,6 +105,13 @@ def run_once(input_path: str, cores: int, shuffle_partitions: int, base: str) ->
     result["subprocess_secs"] = round(time.time() - t0, 1)
     result["warehouse"] = wh
     result["stage_walls"] = _stage_walls(wh)
+    if CLEAN_WAREHOUSES:
+        import shutil
+
+        # --repeat N writes sibling warehouses wh_r0..wh_r{N-1} (pipeline
+        # main), not wh itself — remove the whole family
+        for d in (wh, wh + "_r0", wh + "_r1"):
+            shutil.rmtree(d, ignore_errors=True)
     return result
 
 
@@ -119,11 +133,17 @@ def main() -> None:
                          "existing 'latest' headline pointer (for context "
                          "pairs like 4v16 / 3v12 measured alongside the "
                          "gated 2v8 headline)")
+    ap.add_argument("--clean-warehouses", action="store_true",
+                    help="rm each run's warehouse after harvesting its stage "
+                         "walls (needed for 2M+ corpora: 4 warehouses would "
+                         "exhaust /tmp)")
     ap.add_argument("--render-only", action="store_true",
                     help="re-render the report from BENCH/e2e_scaling.json "
                          "(e.g. after stage/recall companion runs) without "
                          "re-running the bench")
     args = ap.parse_args()
+    global CLEAN_WAREHOUSES
+    CLEAN_WAREHOUSES = args.clean_warehouses
 
     e2e_json = os.path.join(os.path.dirname(args.out), "e2e_scaling.json")
     run_key = f"{args.docs}@{args.cores_small}v{args.cores_large}"
@@ -371,6 +391,64 @@ Measured {sj['generated']} on {sj['docs']} docs (tools/stage_scaling.py):
 |---|---|---|---|---|
 {rows}
 """
+    sig_section = ""
+    sig_json = os.path.join(bench_dir, "signature_mode.json")
+    if os.path.exists(sig_json):
+        with open(sig_json) as fh:
+            sj = json.load(fh)
+        ex, sg = sj["exact"], sj["signature"]
+        sig_section = f"""## Signature-verify mode at scale (the declared extreme-scale path)
+
+verify_mode="signature" (shingle arrays never leave the signature stage;
+Jaccard/containment estimated from MinHash component agreement, tau
+lowered by signature_tau_margin) measured against exact mode on the SAME
+{sj['docs']}-doc corpus, local[{sj['cores']}], {sj['reps']} interleaved
+fresh-JVM reps per mode ({sj['generated']}, tools/signature_mode_bench.py
+-> BENCH/signature_mode.json):
+
+| mode | warm wall | all walls | docs/sec | planted recall | edge pairs | shuffle write | shuffle read |
+|---|---|---|---|---|---|---|---|
+| exact | {ex['wall_secs']} s | {ex['all_walls']} | {ex['docs_per_sec']} | **{ex['recall']}** ({ex['found']}/{ex['truth']}) | {ex['edge_pairs']} | {ex['shuffle_write_bytes'] / 1e9:.2f} GB | {ex['shuffle_read_bytes'] / 1e9:.2f} GB |
+| signature | {sg['wall_secs']} s | {sg['all_walls']} | {sg['docs_per_sec']} | **{sg['recall']}** ({sg['found']}/{sg['truth']}) | {sg['edge_pairs']} | {sg['shuffle_write_bytes'] / 1e9:.2f} GB | {sg['shuffle_read_bytes'] / 1e9:.2f} GB |
+
+Signature mode: **{sj['wall_ratio_signature_over_exact']}x the wall,
+{sj['shuffle_write_ratio']}x the shuffle-write bytes**, identical planted
+recall. The byte saving is the mode's design point — at 100 TB the verify
+exchange carries 128 x int64 signatures instead of text-sized shingle
+arrays — and it converts the extreme-scale story from design argument to
+measurement.
+
+"""
+
+    skew_section = ""
+    skew_json = os.path.join(bench_dir, "skew_stress.json")
+    if os.path.exists(skew_json):
+        with open(skew_json) as fh:
+            kj = json.load(fh)
+        ab, bb = kj["anchor_buckets"], kj["band_buckets"]
+        skew_section = f"""## Pathological-skew stress ({kj['docs']} docs: ONE domain at ~30%, boilerplate block in ~50%)
+
+Corpus deliberately hostile to the skew guards (mega_domains=1,
+boiler_frac=0.5, seed=42 — tools/skew_stress.py, {kj['generated']};
+full record BENCH/skew_stress.json), full pipeline at
+local[{kj['cores']}]:
+
+- salted signatures stage partition rows: max {kj['partition_rows_max']:.0f}
+  vs median {kj['partition_rows_median']:.0f} -> max/median
+  **{kj['partition_max_over_median']}** (criterion <= ~2x:
+  {"HOLDS" if kj['cap_holds_2x'] else "NOT MET"})
+- anchor buckets: {ab['keys']} keys, largest {ab['max_bucket']} members;
+  **{ab['keys_over_cap']} boilerplate keys over the drop cap
+  ({ab['cap']}) carrying {ab['rows_in_over_cap_keys']} rows — all
+  dropped**, so no stop-shingle ever explodes into pairs
+- LSH band buckets: largest {bb['max_bucket']} vs cap {bb['cap']}
+  ({bb['keys_over_cap']} over cap)
+- wall {kj['run']['wall_secs']} s, {kj['run']['docs_per_sec']} docs/sec,
+  {kj['run']['edges']} edges, {kj['run']['clusters']} clusters — no
+  pair-count explosion
+
+"""
+
     recall_section = ""
     recall_json = os.path.join(bench_dir, "recall.json")
     if os.path.exists(recall_json):
@@ -436,7 +514,21 @@ delivers >= 0.9 raw there. Identical multi-minute Spark runs additionally
 swing 1.5-2.5x between executions (shared-host noisy neighbors — see raw
 walls above), hence interleaved reps with min taken.
 
-{recall_section}""")
+{sig_section}{skew_section}{recall_section}
+## Corpus housekeeping (the /tmp footprint is disposable)
+
+The scaling corpora under /tmp/webcrawler_scaling/scaling_corpus_* (~15 GB
+total at the 2M point) are fully deterministic (seed=42, planted dup
+families, sharded generation for > 50k docs) and safe to delete at any
+time; any run regenerates its corpus on demand. To rebuild one explicitly:
+
+    python tools/scaling_bench.py --docs <N> --render-only   # or just run the bench;
+    # generation itself is ensure_corpus() -> sources/corpus.write_parquet_sharded(N, dir, shards=24, seed=42)
+
+Transient wh_* warehouse dirs (~7 GB per 1M-doc run) should be cleaned
+between runs; completed ones are deletable mid-flight (stage walls are
+harvested immediately after each run).
+""")
     print(json.dumps({
         "t8": r8["wall_secs"], "t32": r32["wall_secs"],
         "speedup": round(speedup, 2), "efficiency": round(efficiency, 3),

@@ -278,6 +278,13 @@ def main() -> None:
                          "minimum. Steady-state throughput excludes one-time "
                          "JIT/python-worker spin-up, which any long-running "
                          "production job amortizes")
+    ap.add_argument("--verify-mode", choices=["exact", "signature"],
+                    default=DEFAULT_CONFIG.verify_mode,
+                    help="'signature' is the extreme-scale path: shingle "
+                         "arrays never leave the signature stage; Jaccard/"
+                         "containment are estimated from MinHash agreement "
+                         "with tau lowered by signature_tau_margin "
+                         "(config.py)")
     args = ap.parse_args()
 
     from webcrawler_spark.session import get_spark
@@ -286,12 +293,19 @@ def main() -> None:
         "webcrawler-dedup", master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    import dataclasses
+
+    cfg = (
+        DEFAULT_CONFIG
+        if args.verify_mode == DEFAULT_CONFIG.verify_mode
+        else dataclasses.replace(DEFAULT_CONFIG, verify_mode=args.verify_mode)
+    )
     walls = []
     result = {}
     for i in range(max(1, args.repeat)):
         wh = args.warehouse if args.repeat == 1 else f"{args.warehouse}_r{i}"
         t0 = time.time()
-        out = run_pipeline(spark, args.input, wh, run_id=f"{args.run_id}_{i}")
+        out = run_pipeline(spark, args.input, wh, cfg=cfg, run_id=f"{args.run_id}_{i}")
         n_docs = out["signatures"].count()
         n_edges = out["edges"].count()
         n_clusters = out["clusters"].select("cluster_id").distinct().count()

@@ -49,11 +49,18 @@ def generate_corpus(
     seed: int = 42,
     lang_en_frac: float = 0.85,
     mega_domain_frac: float = 0.3,
+    mega_domains: int = 3,
+    boiler_frac: float = 0.05,
 ) -> Corpus:
     """Generate ~n_docs pages. ~40% belong to planted duplicate families.
 
-    Domains are skewed: 3 "mega domains" hold ~mega_domain_frac of rows
-    (exercises the salted repartition stage B13).
+    Domains are skewed: `mega_domains` "mega domains" hold
+    ~mega_domain_frac of rows (exercises the salted repartition stage B13);
+    `boiler_frac` of docs share a common header/footer token block
+    (boilerplate negatives — stop-shingle mass for the anchor drop cap).
+    Defaults reproduce the historical corpora byte-for-byte; the
+    pathological settings (mega_domains=1, boiler_frac=0.5) are the skew
+    stress shape (tools/skew_stress.py).
     """
     rng = np.random.default_rng(seed)
     vocab = _vocab(rng)
@@ -61,7 +68,7 @@ def generate_corpus(
     t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
     domains = [f"site{i:03d}.example" for i in range(50)]
-    mega = ["mega0.example", "mega1.example", "mega2.example"]
+    mega = [f"mega{i}.example" for i in range(mega_domains)]
     langs = ["es", "de", "fr", "zh"]
 
     doc_id = 0
@@ -156,7 +163,7 @@ def generate_corpus(
         return d
 
     n_family_seeds = max(1, int(n_docs * 0.12))
-    n_boiler = max(2, int(n_docs * 0.05))
+    n_boiler = max(2, int(n_docs * boiler_frac))
     n_nonen = max(1, int(n_docs * 0.08))
     n_base = max(0, n_docs - n_family_seeds * 3 - n_boiler - n_nonen)
 
@@ -298,8 +305,8 @@ def _gen_shard(args) -> tuple[int, int]:
     parquet parts into dir-style web_pages.parquet / dup_truth.parquet."""
     import os
 
-    k, n_shard, base_seed, offset, out_dir = args
-    c = generate_corpus(n_shard, seed=base_seed + k)
+    k, n_shard, base_seed, offset, out_dir, gen_kwargs = args
+    c = generate_corpus(n_shard, seed=base_seed + k, **gen_kwargs)
     for r in c.rows:
         d = r["doc_id"] + offset
         r["doc_id"] = d
@@ -338,11 +345,13 @@ def _gen_shard(args) -> tuple[int, int]:
 
 
 def write_parquet_sharded(
-    n_docs: int, out_dir: str, shards: int = 24, seed: int = 42, procs: int | None = None
+    n_docs: int, out_dir: str, shards: int = 24, seed: int = 42,
+    procs: int | None = None, **gen_kwargs
 ) -> None:
     """Parallel deterministic corpus: `shards` independent shards (seed+k,
     id-offset k*chunk); duplicate families never span shards. Directory-style
-    parquet outputs (a dir of part files) that Spark reads natively."""
+    parquet outputs (a dir of part files) that Spark reads natively.
+    Extra kwargs pass through to generate_corpus (skew-stress knobs)."""
     import multiprocessing as mp
     import os
 
@@ -351,7 +360,7 @@ def write_parquet_sharded(
     chunk = n_docs // shards
     jobs = [
         (k, chunk if k < shards - 1 else n_docs - chunk * (shards - 1),
-         seed, k * (chunk + max(1, chunk // 2)), out_dir)
+         seed, k * (chunk + max(1, chunk // 2)), out_dir, gen_kwargs)
         for k in range(shards)
     ]
     with mp.Pool(procs or min(shards, os.cpu_count() or 4)) as pool:
