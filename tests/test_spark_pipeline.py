@@ -463,3 +463,43 @@ def test_incremental_bridge_merges_old_clusters(spark):
     assert got[1] == got[2] == got[10] == got[11] == got[20] == 1
     # new-new exact pair clusters under its own min
     assert got[30] == got[31] == 30
+
+
+def test_incremental_state_parquet_round_trip(spark, docs_df, tmp_path):
+    """The incremental path must work from PERSISTED stage outputs (the
+    production shape: buckets/sigs/assignments are tables, not in-memory
+    lineage): write the state to parquet, reload, increment, and match the
+    in-memory result exactly."""
+    from webcrawler_spark.operators.incremental import (
+        DedupState,
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    old_docs = docs_df.filter(F.col("doc_id") % 4 != 3)
+    new_docs = docs_df.filter(F.col("doc_id") % 4 == 3)
+    state = build_dedup_state(old_docs, CFG)
+
+    base = str(tmp_path / "state")
+    state.sigs.write.parquet(f"{base}/sigs")
+    state.buckets.write.parquet(f"{base}/buckets")
+    state.assignments.write.parquet(f"{base}/assignments")
+    state.dropped_anchor_keys.write.parquet(f"{base}/dropped_anchor_keys")
+    state.kept_anchor_counts.write.parquet(f"{base}/kept_anchor_counts")
+    reloaded = DedupState(
+        sigs=spark.read.parquet(f"{base}/sigs"),
+        buckets=spark.read.parquet(f"{base}/buckets"),
+        assignments=spark.read.parquet(f"{base}/assignments"),
+        dropped_anchor_keys=spark.read.parquet(f"{base}/dropped_anchor_keys"),
+        kept_anchor_counts=spark.read.parquet(f"{base}/kept_anchor_counts"),
+    )
+
+    got_mem = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_dedup(state, new_docs, docs_df, CFG).collect()
+    }
+    got_disk = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_dedup(reloaded, new_docs, docs_df, CFG).collect()
+    }
+    assert got_disk == got_mem

@@ -21,9 +21,24 @@ SHOW = [
     "dedup_clusters",        # full dedup DAG
     "embedding_topk",        # higher-order fns stay JVM-side
     "embedding_dup_pairs",   # hyperplane-LSH bucketed join (no crossJoin)
+    "multimodal_dup_pairs",  # codec decode -> profile -> LSH (no crossJoin)
+    "dedup_incremental",     # state join on touched keys + seeded union-find
 ]
 
 NOTES = {
+    "multimodal_dup_pairs": (
+        "Note: candidates come from the hyperplane-LSH (table, sig) bucket "
+        "join over decoded-pixel profiles; the only joins below are that "
+        "bucket equi-join and the two profile fetches for exact rescoring "
+        "— no cartesian product anywhere."
+    ),
+    "dedup_incremental": (
+        "Note: the increment's candidate work is bounded by the bucket "
+        "keys the new batch touches (inner join of the state bucket table "
+        "with the batch's keys); old-vs-old pairs are filtered before any "
+        "verify join, and the union-find runs over seed star edges plus "
+        "the new edges only."
+    ),
     "embedding_topk": (
         "Note: the BroadcastNestedLoopJoin below is the DELIBERATE plan for "
         "this query — 10 broadcast query vectors scored against the corpus "

@@ -449,6 +449,41 @@ local[{kj['cores']}]:
 
 """
 
+    inc_section = ""
+    inc_json = os.path.join(bench_dir, "incremental.json")
+    if os.path.exists(inc_json):
+        with open(inc_json) as fh:
+            ij = json.load(fh)
+        inc_section = f"""## Incremental dedup at scale (new-batch-vs-corpus, no recompute)
+
+A {ij['batch_frac'] * 100:.0f}% increment ({ij['new_docs']} docs) absorbed
+against persisted state over the remaining {ij['old_docs']} docs
+({ij['generated']}, tools/incremental_bench.py -> BENCH/incremental.json,
+local[{ij['cores']}], state read back from parquet — the production
+stage-table shape):
+
+- increment wall **{ij['increment_wall_secs']} s** vs full recompute
+  **{ij['full_recompute_wall_secs']} s**
+  ({ij['increment_over_full']}x) — the increment never re-signatures or
+  re-pairs the existing corpus; its remaining cost is the by-key state
+  fetch, which partition pruning absorbs on a key-partitioned stage table
+  at cluster scale{f'''
+- both kept-anchor-count paths were measured and are exact: the
+  precomputed-delta path ({ij['increment_wall_secs']} s) and the one-pass
+  fallback aggregation
+  ({ij['fallback_comparison']['increment_wall_secs']} s). At this
+  corpus/batch ratio a 5% batch touches most bucket keys, so the simpler
+  fallback wins; the delta path is kept for the
+  tiny-batch-vs-huge-corpus regime it exists for''' if ij.get('fallback_comparison') else ''}
+- assignment equality vs the full recompute:
+  **{ij['assignment_mismatches']} mismatches over {ij['docs']} docs**
+  ({"EXACT" if ij['exact_match'] else "NOT EXACT"}) — the increment's
+  union-find is seeded with existing cluster ids and reproduces the batch
+  answer doc for doc (driver row `dedup_incremental` checks the same
+  equality against the brute-force SQL oracle at contract scale)
+
+"""
+
     recall_section = ""
     recall_json = os.path.join(bench_dir, "recall.json")
     if os.path.exists(recall_json):
@@ -514,7 +549,7 @@ delivers >= 0.9 raw there. Identical multi-minute Spark runs additionally
 swing 1.5-2.5x between executions (shared-host noisy neighbors — see raw
 walls above), hence interleaved reps with min taken.
 
-{sig_section}{skew_section}{recall_section}
+{sig_section}{skew_section}{inc_section}{recall_section}
 ## Corpus housekeeping (the /tmp footprint is disposable)
 
 The scaling corpora under /tmp/webcrawler_scaling/scaling_corpus_* (~15 GB

@@ -28,15 +28,17 @@ existing run from its persisted stage outputs:
 
 Equivalence to full recompute (the driver-checked contract —
 ``dedup_incremental``'s oracle is the full-recompute SQL over the
-concatenated corpus): candidate generation differs from the batch path
-only at cap boundaries. Anchor DROP semantics are replicated exactly
-(combined counts decide survival for touched keys; untouched keys keep
-their recorded survival). LSH bucket truncation keeps the cap smallest
-doc_ids; pre-capped old state is lossless for that policy when new doc_ids
-sort after old ones (append-only ingest — the standard increment shape).
-Where an increment widens a previously-dropped boundary case, the
-incremental path generates a SUPERSET of the batch path's candidates, and
-the exact verify keeps the emitted edge set sound either way.
+concatenated corpus; tools/incremental_bench.py re-checks doc-for-doc
+equality at 1M): anchor DROP semantics are replicated exactly — combined
+counts decide survival for touched keys, untouched keys keep their
+recorded survival, and keys the original corpus dropped as boilerplate are
+excluded via the state's ``dropped_anchor_keys`` table (see DedupState:
+without it, batch-locally-rare boilerplate keys inflate the tier-1
+denominator and borderline true pairs are missed). LSH bucket truncation
+keeps the cap smallest doc_ids per key, and the 200 smallest of
+(state's 200 smallest olds ∪ news) equal the 200 smallest of
+(all olds ∪ news) for ANY id interleaving, so pre-capped state is
+lossless there too.
 """
 
 from __future__ import annotations
@@ -61,14 +63,35 @@ from webcrawler_spark.operators.lsh import (
 class DedupState:
     """Persisted-stage view of an already-deduped corpus.
 
-    All three members are stage outputs (parquet/Iceberg tables at scale;
-    plain DataFrames in tests): ``sigs`` the signature table, ``buckets``
-    the capped unified bucket table, ``assignments`` (doc_id, cluster_id).
-    """
+    All members are stage outputs (parquet/Iceberg tables at scale; plain
+    DataFrames in tests): ``sigs`` the signature table, ``buckets`` the
+    capped unified bucket table, ``assignments`` (doc_id, cluster_id), and
+    ``dropped_anchor_keys`` (key) — the anchor keys whose corpus-wide
+    bucket exceeded the drop cap. The last table is essential for
+    exactness, not an optimization: a boilerplate shingle shared by 10^6
+    old docs has NO rows in the capped bucket table, so without the
+    drop-list a new batch carrying that shingle would see an innocently
+    small batch-local bucket, count it as a kept anchor, inflate the
+    tier-1 containment denominator for its docs, and MISS borderline true
+    pairs a full recompute finds (observed: 51 of 19,159 new-side pairs at
+    1M docs before this table existed). It is small by construction —
+    boilerplate keys are the heavy tail, ~3% of keys even on the
+    pathological 50%-boilerplate stress corpus."""
 
     sigs: DataFrame
     buckets: DataFrame
     assignments: DataFrame
+    dropped_anchor_keys: DataFrame | None = None
+    # per-doc kept-anchor counts (doc_id, n_kept): the tier-1 denominator,
+    # precomputed so an increment derives denominators with an O(touched)
+    # delta instead of re-aggregating the whole bucket table (the 10^12-doc
+    # shape; incremental_edges falls back to the full aggregation when the
+    # table is absent). Measured A/B at 1M docs / 5% batch
+    # (BENCH/incremental.json): both paths exact; the delta path's extra
+    # joins cost more (93 s) than the one-pass aggregation they avoid
+    # (81 s) because a 5% batch touches most keys — it pays off only when
+    # |touched keys| << |corpus keys| (tiny daily batches on huge corpora)
+    kept_anchor_counts: DataFrame | None = None
 
 
 def build_dedup_state(
@@ -84,10 +107,25 @@ def build_dedup_state(
     sigs = sigs.persist()
     edges = build_edges(sigs, cfg, docs=docs)
     assignments = assign_clusters(docs, edges).select("doc_id", "cluster_id")
+    dropped = (
+        sigs.select(F.explode("anchors").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > cfg.anchor_max_bucket)
+        .select("key")
+    )
+    buckets = unified_capped_buckets(sigs, cfg)
+    kept = (
+        buckets.filter(F.col("gen") == "anchor")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"))
+    )
     return DedupState(
         sigs=sigs,
-        buckets=unified_capped_buckets(sigs, cfg),
+        buckets=buckets,
         assignments=assignments,
+        dropped_anchor_keys=dropped,
+        kept_anchor_counts=kept,
     )
 
 
@@ -108,7 +146,19 @@ def incremental_edges(
     against a key-partitioned stage table (big side stays put; at 10^12
     docs the per-doc kept-anchor aggregate is itself a persisted stage
     column, refreshed with the same touched-keys delta)."""
-    new_buckets = unified_capped_buckets(new_sigs, cfg).persist()
+    new_buckets = unified_capped_buckets(new_sigs, cfg)
+    if state.dropped_anchor_keys is not None:
+        # anchor keys the ORIGINAL corpus already classified as boilerplate
+        # have no rows in state.buckets; the batch-local view of such a key
+        # looks innocently small, so it must be excluded explicitly — from
+        # candidates AND from the kept-anchor counts below — or the tier-1
+        # denominator inflates and borderline true pairs are missed
+        # (DedupState docstring)
+        dropped = state.dropped_anchor_keys.select(
+            F.lit("anchor").alias("gen"), F.col("key")
+        )
+        new_buckets = new_buckets.join(dropped, ["gen", "key"], "left_anti")
+    new_buckets = new_buckets.persist()
     touched = new_buckets.select("gen", "key").distinct()
     old_touched = state.buckets.join(touched, ["gen", "key"])
     combined = old_touched.unionByName(new_buckets)
@@ -148,14 +198,57 @@ def incremental_edges(
 
     # tier-1 kept-anchor denominators, combined-drop semantics: rows in
     # untouched keys keep their recorded survival (their buckets gained no
-    # members), rows in touched keys take the re-decided verdict above
-    untouched_anchor = state.buckets.filter(F.col("gen") == "anchor").join(
-        touched, ["gen", "key"], "left_anti"
+    # members), rows in touched keys take the re-decided verdict above.
+    capped_anchor = capped.filter(F.col("gen") == "anchor")
+    if state.kept_anchor_counts is not None:
+        # O(touched) delta over the PRECOMPUTED per-doc aggregate: an old
+        # doc's count changes only by the touched-key rows it LOSES to the
+        # re-decision (keys pushed over the drop cap by new members); a new
+        # doc's count is exactly its surviving capped rows
+        old_touched_anchor = old_touched.filter(F.col("gen") == "anchor")
+        lost = (
+            old_touched_anchor.join(
+                capped_anchor, ["gen", "key", "doc_id"], "left_anti"
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_lost"))
+        )
+        old_counts = (
+            state.kept_anchor_counts.join(lost, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("n_kept") - F.coalesce("n_lost", F.lit(0))).alias("n_kept"),
+            )
+            .filter(F.col("n_kept") > 0)
+        )
+        new_counts = (
+            capped_anchor.join(new_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_kept"))
+        )
+        kept_counts = old_counts.unionByName(new_counts)
+    else:
+        # legacy path (no precomputed aggregate): one O(corpus) pass over
+        # the state bucket table
+        untouched_anchor = state.buckets.filter(F.col("gen") == "anchor").join(
+            touched, ["gen", "key"], "left_anti"
+        )
+        kept_rows = untouched_anchor.select("doc_id").unionByName(
+            capped_anchor.select("doc_id")
+        )
+        kept_counts = kept_rows.groupBy("doc_id").agg(
+            F.count("*").alias("n_kept")
+        )
+    # bound the counts table to docs that actually appear in anchor pairs —
+    # tier-1 (and the n_chars fetch below) then touch O(candidate docs),
+    # not every doc in the corpus
+    anchor_pairs = cand.filter(F.col("gen") == "anchor")
+    cand_ids = (
+        anchor_pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(anchor_pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
     )
-    kept_rows = untouched_anchor.select("doc_id").unionByName(
-        capped.filter(F.col("gen") == "anchor").select("doc_id")
-    )
-    kept_counts = kept_rows.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    kept_counts = kept_counts.join(cand_ids, "doc_id", "left_semi")
     if docs is not None and cfg.substring_pass:
         kept_counts = kept_counts.join(
             all_sigs.select("doc_id", "n_chars"), "doc_id"
