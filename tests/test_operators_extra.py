@@ -491,3 +491,25 @@ def test_image_profile_centered_exact(spark):
         nib = _image_nibbles(d)
         want = (IMG_N * nib - nib.sum()).tolist()
         assert feats[d] == want
+
+
+def test_audio_dup_pairs_planted(spark):
+    """The audio twin: same planted scheme through the PCM-WAV decode
+    branch; streams are modality-namespaced so image and audio features of
+    the same doc never alias."""
+    from webcrawler_spark.operators.multimodal import (
+        IMG_COPY_MOD,
+        _audio_nibbles,
+        _image_nibbles,
+        audio_dup_pairs,
+        synth_audio_corpus,
+    )
+
+    assert _audio_nibbles(3).tolist() != _image_nibbles(3).tolist()
+    n = 60
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = {
+        (r["asset_id_a"], r["asset_id_b"])
+        for r in audio_dup_pairs(synth_audio_corpus(spark, ids), 0.9).collect()
+    }
+    assert got == {(d - 1, d) for d in range(1, n) if d % IMG_COPY_MOD == 0}

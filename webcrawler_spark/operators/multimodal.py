@@ -271,13 +271,15 @@ IMG_COPY_MOD = 7                   # doc_id % 7 == 0 => near-copy of doc_id-1
 IMG_PERTURB_MOD = 97               # copies perturb nibbles where (i+d)%97==0
 
 
-def _image_nibbles(doc_id: int) -> np.ndarray:
-    """768 nibble values (0..15) for a doc's image; copies perturb ~8."""
+def _planted_nibbles(doc_id: int, prefix: str) -> np.ndarray:
+    """768 nibble values (0..15) for a doc's asset; copies perturb ~8.
+    ``prefix`` namespaces the md5 stream per modality ('img' / 'aud') so an
+    image and an audio asset of the same doc never alias."""
     s = doc_id - 1 if (doc_id % IMG_COPY_MOD == 0 and doc_id > 0) else doc_id
     import hashlib
 
     hx = "".join(
-        hashlib.md5(f"img:{s}:{k}".encode()).hexdigest()
+        hashlib.md5(f"{prefix}:{s}:{k}".encode()).hexdigest()
         for k in range(IMG_MD5_BLOCKS)
     )
     v = np.frombuffer(hx.encode(), np.uint8).astype(np.int64)
@@ -289,22 +291,45 @@ def _image_nibbles(doc_id: int) -> np.ndarray:
     return v
 
 
-def synth_image_corpus(spark, ids: DataFrame) -> DataFrame:
-    """ids(doc_id) -> planted-near-dup image assets: valid P6 PPM payloads
-    whose 16x16 rasters are the md5-derived nibble streams above. Built in
-    one Arrow pass (fixture generation, not an engine hot path)."""
-    header = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
+def _image_nibbles(doc_id: int) -> np.ndarray:
+    return _planted_nibbles(doc_id, "img")
+
+
+def _audio_nibbles(doc_id: int) -> np.ndarray:
+    return _planted_nibbles(doc_id, "aud")
+
+
+def _wav8_payload(samples: np.ndarray) -> bytes:
+    """Valid mono 8-bit PCM RIFF/WAVE container around raw sample bytes."""
+    data = samples.astype(np.uint8).tobytes()
+    rate = 8000
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + rate.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    chunks = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+              + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+def _synth_planted_assets(spark, ids: DataFrame, kind: str) -> DataFrame:
+    """Shared fixture generator: planted-near-dup assets in a REAL container
+    per modality (P6 PPM rasters / 8-bit PCM WAV samples), one Arrow pass."""
+    ppm_header = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"asset_id": [], "kind": [], "payload": [], "meta": []}
             for d in pdf["doc_id"]:
                 d = int(d)
+                if kind == "image":
+                    payload = ppm_header + _image_nibbles(d).astype(np.uint8).tobytes()
+                else:
+                    payload = _wav8_payload(_audio_nibbles(d))
                 rows["asset_id"].append(d)
-                rows["kind"].append("image")
-                rows["payload"].append(
-                    header + _image_nibbles(d).astype(np.uint8).tobytes()
-                )
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
                 rows["meta"].append({"seed": str(d)})
             yield pd.DataFrame(rows)
 
@@ -313,27 +338,43 @@ def synth_image_corpus(spark, ids: DataFrame) -> DataFrame:
     )
 
 
-def image_dup_pairs(
+def synth_image_corpus(spark, ids: DataFrame) -> DataFrame:
+    """ids(doc_id) -> planted-near-dup image assets: valid P6 PPM payloads
+    whose 16x16 rasters are md5-derived nibble streams."""
+    return _synth_planted_assets(spark, ids, "image")
+
+
+def synth_audio_corpus(spark, ids: DataFrame) -> DataFrame:
+    """ids(doc_id) -> planted-near-dup audio assets: valid mono 8-bit PCM
+    WAVs whose 768 samples are md5-derived nibble streams ('aud' stream —
+    disjoint from the image stream)."""
+    return _synth_planted_assets(spark, ids, "audio")
+
+
+def asset_dup_pairs(
     assets: DataFrame,
+    kind: str,
     threshold: float = 0.9,
     n_tables: int = 48,
     n_bits: int = 12,
     seed: int = 42,
     max_bucket: int = 5000,
 ) -> DataFrame:
-    """Image near-dup pairs (asset_id_a < asset_id_b, cosine) over the REAL
-    codec branch: decode payloads (P6), take centered pixel profiles,
-    generate candidates with hyperplane-LSH (similarity.py — modality-
-    agnostic; the only shuffle is by (table, sig) bucket key, no crossJoin),
-    and exact-rescore with int64 dot products so both engines agree
+    """Content near-dup pairs (asset_id_a < asset_id_b, cosine) over the
+    REAL codec branch of one modality: decode payloads (P6 rasters / PCM
+    samples / PPM streams), take centered sample profiles, generate
+    candidates with hyperplane-LSH (similarity.py — modality-agnostic; the
+    only shuffle is by (table, sig) bucket key, no crossJoin), and
+    exact-rescore with int64 dot products so both engines agree
     bit-for-bit. At the default threshold 0.9 a qualifying pair is missed
     by all 48 tables with p < ~3e-4 worst-case at the boundary and < 1e-9
     for the planted-copy regime (cosine >= ~0.97); rescoring makes
-    precision exactly 1."""
+    precision exactly 1. The LSH path requires fixed-dim profiles
+    (thumbnail/window-normalized assets)."""
     from webcrawler_spark.operators.similarity import lsh_candidate_pairs
 
     feats = (
-        extract_features(assets.filter(F.col("kind") == "image"),
+        extract_features(assets.filter(F.col("kind") == kind),
                          mode="codec", profile=True)
         .select("asset_id", "profile")
         .persist()
@@ -365,6 +406,16 @@ def image_dup_pairs(
             "cosine",
         )
     )
+
+
+def image_dup_pairs(assets: DataFrame, threshold: float = 0.9, **kw) -> DataFrame:
+    """Image instantiation of asset_dup_pairs (P6 decode path)."""
+    return asset_dup_pairs(assets, "image", threshold, **kw)
+
+
+def audio_dup_pairs(assets: DataFrame, threshold: float = 0.9, **kw) -> DataFrame:
+    """Audio instantiation of asset_dup_pairs (PCM-WAV decode path)."""
+    return asset_dup_pairs(assets, "audio", threshold, **kw)
 
 
 def synth_assets(spark, docs: DataFrame) -> DataFrame:

@@ -1460,12 +1460,33 @@ def q_multimodal_dup_pairs(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_dup_pairs(spark, sf_dir):
+    """The audio twin of multimodal_dup_pairs: same planted-near-copy
+    scheme, same profile/LSH/rescore path, but through the OTHER real
+    decoder — mono 8-bit PCM RIFF/WAVE containers whose 768 samples are
+    the 'aud' md5 nibble stream (multimodal.synth_audio_corpus). One
+    modality-agnostic engine path, two independently-exercised codec
+    branches, each with its own brute-force SQL oracle."""
+    from webcrawler_spark.operators.multimodal import (
+        audio_dup_pairs,
+        synth_audio_corpus,
+    )
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    assets = synth_audio_corpus(spark, ids)
+    return audio_dup_pairs(assets, threshold=0.9).select(
+        F.col("asset_id_a").alias("doc_id_a"),
+        F.col("asset_id_b").alias("doc_id_b"),
+        "cosine",
+    )
+
+
 # brute-force oracle: rebuild each doc's nibble raster from md5 hexdigests
 # (24 blocks of 32 hex chars => 768 nibbles), apply the planted-copy
 # perturbation, center exactly like the engine (768*x - sum, pure int64),
 # score all pairs. Constants interpolated from multimodal.py so neither
 # side can drift alone.
-def _sql_multimodal_dup_pairs() -> str:
+def _sql_multimodal_dup_pairs(prefix: str = "img") -> str:
     from webcrawler_spark.operators.multimodal import (
         IMG_COPY_MOD as CM,
         IMG_MD5_BLOCKS as MB,
@@ -1481,7 +1502,7 @@ WITH seeds AS (
   FROM documents
 ), hx AS (
   SELECT doc_id,
-         string_agg(md5('img:' || s || ':' || k), '' ORDER BY k) AS h
+         string_agg(md5('{prefix}:' || s || ':' || k), '' ORDER BY k) AS h
   FROM seeds, range(0, {MB}) t(k)
   GROUP BY doc_id
 ), nib AS (
@@ -1507,7 +1528,8 @@ SELECT doc_id_a, doc_id_b, cosine FROM dots WHERE cosine >= 0.9
 """
 
 
-SQL_MULTIMODAL_DUP_PAIRS = _sql_multimodal_dup_pairs()
+SQL_MULTIMODAL_DUP_PAIRS = _sql_multimodal_dup_pairs("img")
+SQL_MULTIMODAL_AUDIO_DUP_PAIRS = _sql_multimodal_dup_pairs("aud")
 
 
 # --------------------------------------------------------------------------
@@ -1556,4 +1578,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "multimodal_dup_pairs": (q_multimodal_dup_pairs, SQL_MULTIMODAL_DUP_PAIRS),
+    "multimodal_audio_dup_pairs": (
+        q_multimodal_audio_dup_pairs,
+        SQL_MULTIMODAL_AUDIO_DUP_PAIRS,
+    ),
 }
