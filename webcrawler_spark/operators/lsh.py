@@ -369,6 +369,16 @@ def build_edges(
     many) is dropped by anchor_max_bucket before any text moves.
     ``docs`` needs columns (doc_id, text).
 
+    Verify-join shuffle note (closes a long-open "semi-join prune the
+    signatures to candidate docs?" question): at runtime AQE converts every
+    join in this DAG to BroadcastHashJoin with the (small) pair side
+    broadcast — measured at sf0.01: 12 BHJ / 0 SMJ in the final adaptive
+    plan — so the text-sized shingle arrays never cross a shuffle for the
+    verify; a manual semi-join prune would only add a stage. At cluster
+    scale the same holds while candidate pairs fit the broadcast threshold;
+    beyond that, AQE falls back to shuffled joins where a prune could then
+    pay — revisit only if that regime is ever measured.
+
     ``persisted_out``: when given, the internally persisted intermediates
     (capped buckets, candidate pairs) are appended so the caller can
     ``unpersist()`` them after the returned edges are materialized — callers
