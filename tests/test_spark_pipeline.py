@@ -503,3 +503,59 @@ def test_incremental_state_parquet_round_trip(spark, docs_df, tmp_path):
         for r in incremental_dedup(reloaded, new_docs, docs_df, CFG).collect()
     }
     assert got_disk == got_mem
+
+
+def test_advance_state_chains_increments(spark, docs_df):
+    """States must CHAIN: advance_state(fold batch 1) then a second
+    increment must equal the full recompute over everything — and the
+    advanced state's tables must equal a from-scratch build over the
+    concatenated corpus (buckets, dropped keys, kept counts)."""
+    from webcrawler_spark.operators.incremental import (
+        advance_state,
+        build_dedup_state,
+        incremental_assign,
+        incremental_edges,
+    )
+
+    part0 = docs_df.filter(F.col("doc_id") % 4 <= 1)
+    part1 = docs_df.filter(F.col("doc_id") % 4 == 2)
+    part2 = docs_df.filter(F.col("doc_id") % 4 == 3)
+    docs01 = docs_df.filter(F.col("doc_id") % 4 != 3)
+
+    state0 = build_dedup_state(part0, CFG)
+    sigs1 = compute_signatures(part1, CFG).cache()
+    edges1 = incremental_edges(state0, sigs1, CFG, docs=docs01)
+    assign1 = incremental_assign(state0, docs01, edges1)
+    state1 = advance_state(state0, sigs1, assign1, CFG)
+
+    # the advanced state is table-for-table the from-scratch state
+    fresh1 = build_dedup_state(docs01, CFG)
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(state1.buckets, "gen", "key", "doc_id") == rows(
+        fresh1.buckets, "gen", "key", "doc_id"
+    )
+    assert rows(state1.dropped_anchor_keys, "key") == rows(
+        fresh1.dropped_anchor_keys, "key"
+    )
+    assert rows(state1.kept_anchor_counts, "doc_id", "n_kept") == rows(
+        fresh1.kept_anchor_counts, "doc_id", "n_kept"
+    )
+
+    # second increment over the advanced state == full recompute over all
+    sigs2 = compute_signatures(part2, CFG).cache()
+    edges2 = incremental_edges(state1, sigs2, CFG, docs=docs_df)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_assign(state1, docs_df, edges2).collect()
+    }
+    full_sigs = compute_signatures(docs_df, CFG).cache()
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in assign_clusters(
+            docs_df, build_edges(full_sigs, CFG, docs=docs_df)
+        ).collect()
+    }
+    assert got == full

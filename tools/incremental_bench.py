@@ -78,6 +78,25 @@ def main() -> None:
     new_docs = docs.filter(is_new)
 
     state_dir = tempfile.mkdtemp(prefix="inc_state_", dir=args.base)
+    try:
+        _run_bench(args, spark, docs, old_docs, new_docs, state_dir)
+    finally:
+        # ~5.6 GB of state per run at 1M — a failed run must not leak it
+        # (observed: several aborted runs exhausted /tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def _run_bench(args, spark, docs, old_docs, new_docs, state_dir) -> None:
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.config import DEFAULT_CONFIG as CFG
+    from webcrawler_spark.operators.components import assign_clusters
+    from webcrawler_spark.operators.incremental import (
+        DedupState,
+        build_dedup_state,
+    )
+    from webcrawler_spark.operators.lsh import build_edges
+    from webcrawler_spark.operators.signatures import compute_signatures
 
     # --- phase 1: state build over the existing corpus (paid once) -------
     t0 = time.time()
@@ -103,8 +122,26 @@ def main() -> None:
             f"{state_dir}/kept_anchor_counts"
         ),
     )
+    # stage-faithful shape (exactly what the pipeline does): commit the
+    # increment's edges to a table, then union-find over the table scan —
+    # feeding union-find the raw in-memory edge DAG instead trips a Spark
+    # AQE-vs-localCheckpoint partitioning bug at 1M ("Can't zip RDDs with
+    # unequal numbers of partitions"); the edge write is timed as part of
+    # the increment
+    from webcrawler_spark.operators.incremental import (
+        incremental_assign,
+        incremental_edges,
+    )
+    from webcrawler_spark.operators.signatures import compute_signatures as _sig
+
     t0 = time.time()
-    inc = incremental_dedup(disk_state, new_docs, docs, CFG)
+    new_sigs = _sig(new_docs, CFG).persist()
+    incremental_edges(disk_state, new_sigs, CFG, docs=docs).write.parquet(
+        f"{state_dir}/inc_edges"
+    )
+    inc = incremental_assign(
+        disk_state, docs, spark.read.parquet(f"{state_dir}/inc_edges")
+    )
     inc.write.parquet(f"{state_dir}/inc_assignments")
     inc_wall = round(time.time() - t0, 2)
     inc = spark.read.parquet(f"{state_dir}/inc_assignments")
@@ -145,7 +182,6 @@ def main() -> None:
         "assignment_mismatches": mismatches,
         "exact_match": mismatches == 0,
     }
-    shutil.rmtree(state_dir, ignore_errors=True)
     out = os.path.join(REPO, "BENCH", "incremental.json")
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1)

@@ -53,6 +53,7 @@ from webcrawler_spark.operators.components import assign_clusters
 from webcrawler_spark.operators.lsh import (
     _anchor_tier1,
     _pairs_from_unified,
+    bucket_rows,
     build_edges,
     unified_capped_buckets,
     verify_candidates,
@@ -129,6 +130,56 @@ def build_dedup_state(
     )
 
 
+def _touched_recap(
+    state: DedupState, new_sigs: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared bucket re-decision for an increment: (new_buckets, touched,
+    old_touched, combined, capped). ``capped`` carries the combined-cap
+    verdict over exactly the keys the batch touches; keys the original
+    corpus dropped as boilerplate are excluded from the batch's rows first
+    (DedupState docstring).
+
+    The batch's bucket rows enter UNCAPPED (lsh.bucket_rows): a batch-local
+    cap would be wrong twice over — an anchor key that is boilerplate
+    WITHIN the batch would vanish from ``touched`` (so stale state rows for
+    it would survive an advance_state and its old rows would keep wrong
+    kept-counts), and a batch-locally-truncated LSH bucket could exclude a
+    doc that belongs in the combined top-cap. The combined window below is
+    the only cap that matters."""
+    new_buckets = bucket_rows(new_sigs, cfg)
+    if state.dropped_anchor_keys is not None:
+        dropped = state.dropped_anchor_keys.select(
+            F.lit("anchor").alias("gen"), F.col("key")
+        )
+        new_buckets = new_buckets.join(dropped, ["gen", "key"], "left_anti")
+    new_buckets = new_buckets.persist()
+    touched = new_buckets.select("gen", "key").distinct()
+    old_touched = state.buckets.join(touched, ["gen", "key"])
+    # ONE explicit exchange before the window: the union's children carry
+    # incompatible partitioning claims (a join output vs a raw explode
+    # lineage), and caching a window built straight on that union freezes
+    # an AQE-coalesced PartitioningCollection that later joins treat as
+    # co-partitioned — at 1M this dies with "PartitioningCollection
+    # requires all of its partitionings have the same numPartitions" /
+    # "Can't zip RDDs with unequal numbers of partitions". The explicit
+    # hash repartition gives the cached window a single clean partitioning.
+    combined = old_touched.unionByName(new_buckets).repartition("gen", "key")
+
+    wo = Window.partitionBy("gen", "key").orderBy("doc_id")
+    wc = Window.partitionBy("gen", "key")
+    capped = (
+        combined.withColumn("rn", F.row_number().over(wo))
+        .withColumn("sz", F.count("*").over(wc))
+        .filter(
+            F.when(F.col("gen") == "anchor", F.col("sz") <= cfg.anchor_max_bucket)
+            .otherwise(F.col("rn") <= cfg.max_bucket_size)
+        )
+        .select("gen", "key", "doc_id")
+        .persist()
+    )
+    return new_buckets, touched, old_touched, combined, capped
+
+
 def incremental_edges(
     state: DedupState,
     new_sigs: DataFrame,
@@ -146,38 +197,12 @@ def incremental_edges(
     against a key-partitioned stage table (big side stays put; at 10^12
     docs the per-doc kept-anchor aggregate is itself a persisted stage
     column, refreshed with the same touched-keys delta)."""
-    new_buckets = unified_capped_buckets(new_sigs, cfg)
-    if state.dropped_anchor_keys is not None:
-        # anchor keys the ORIGINAL corpus already classified as boilerplate
-        # have no rows in state.buckets; the batch-local view of such a key
-        # looks innocently small, so it must be excluded explicitly — from
-        # candidates AND from the kept-anchor counts below — or the tier-1
-        # denominator inflates and borderline true pairs are missed
-        # (DedupState docstring)
-        dropped = state.dropped_anchor_keys.select(
-            F.lit("anchor").alias("gen"), F.col("key")
-        )
-        new_buckets = new_buckets.join(dropped, ["gen", "key"], "left_anti")
-    new_buckets = new_buckets.persist()
-    touched = new_buckets.select("gen", "key").distinct()
-    old_touched = state.buckets.join(touched, ["gen", "key"])
-    combined = old_touched.unionByName(new_buckets)
-
     # re-decide the cap policies over the COMBINED membership of touched
     # keys (same two windows as unified_capped_buckets): anchor buckets
     # whose old+new size exceeds the drop cap vanish for everyone, exactly
     # as a full recompute would decide
-    wo = Window.partitionBy("gen", "key").orderBy("doc_id")
-    wc = Window.partitionBy("gen", "key")
-    capped = (
-        combined.withColumn("rn", F.row_number().over(wo))
-        .withColumn("sz", F.count("*").over(wc))
-        .filter(
-            F.when(F.col("gen") == "anchor", F.col("sz") <= cfg.anchor_max_bucket)
-            .otherwise(F.col("rn") <= cfg.max_bucket_size)
-        )
-        .select("gen", "key", "doc_id")
-        .persist()
+    new_buckets, touched, old_touched, combined, capped = _touched_recap(
+        state, new_sigs, cfg
     )
 
     # candidate pairs over touched keys, then drop old-old pairs (already
@@ -330,7 +355,12 @@ def incremental_assign(
         state.assignments.filter(F.col("doc_id") != F.col("cluster_id"))
         .select(F.col("cluster_id").alias("a"), F.col("doc_id").alias("b"))
     )
-    edges = seed.unionByName(new_edges.select("a", "b"))
+    # one explicit exchange normalizes the two sides' partitioning: the
+    # seed side is a stage-table scan (file-split partition count) and the
+    # new edges carry the session's shuffle partitioning — localCheckpoint
+    # inside union-find chokes on such mixed-partition unions at scale
+    # (Spark "Can't zip RDDs with unequal numbers of partitions" under AQE)
+    edges = seed.unionByName(new_edges.select("a", "b")).repartition("a")
     return assign_clusters(all_docs, edges).select("doc_id", "cluster_id")
 
 
@@ -348,3 +378,80 @@ def incremental_dedup(
     new_sigs = compute_signatures(new_docs, cfg).persist()
     edges = incremental_edges(state, new_sigs, cfg, docs=all_docs)
     return incremental_assign(state, all_docs, edges)
+
+
+def advance_state(
+    state: DedupState,
+    new_sigs: DataFrame,
+    new_assignments: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DedupState:
+    """Fold an absorbed batch INTO the state, so increments chain: the
+    returned state equals ``build_dedup_state`` over the concatenated
+    corpus (pytest-pinned through a chained double increment), but is
+    derived with touched-keys work only:
+
+    - buckets: untouched keys keep their rows; touched keys take the
+      combined-cap re-decision (LSH: top-cap of state-top-cap ∪ news =
+      global top-cap; anchors: combined-size drop);
+    - dropped anchor keys: previous set ∪ touched keys pushed over the cap
+      by the batch (a dropped key never returns — sizes only grow);
+    - kept-anchor counts: previous counts minus touched-key rows lost to
+      the re-decision, plus the batch's surviving rows;
+    - assignments: the increment's output (callers pass what
+      ``incremental_assign``/``incremental_dedup`` returned).
+    """
+    new_buckets, touched, old_touched, combined, capped = _touched_recap(
+        state, new_sigs, cfg
+    )
+    buckets_next = state.buckets.join(
+        touched, ["gen", "key"], "left_anti"
+    ).unionByName(capped)
+
+    dropped_next = None
+    if state.dropped_anchor_keys is not None:
+        newly_over = (
+            combined.filter(F.col("gen") == "anchor")
+            .groupBy("key")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > cfg.anchor_max_bucket)
+            .select("key")
+        )
+        dropped_next = (
+            state.dropped_anchor_keys.unionByName(newly_over).distinct()
+        )
+
+    kept_next = None
+    if state.kept_anchor_counts is not None:
+        capped_anchor = capped.filter(F.col("gen") == "anchor")
+        lost = (
+            old_touched.filter(F.col("gen") == "anchor")
+            .join(capped_anchor, ["gen", "key", "doc_id"], "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_lost"))
+        )
+        old_counts = (
+            state.kept_anchor_counts.join(lost, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("n_kept") - F.coalesce("n_lost", F.lit(0))).alias(
+                    "n_kept"
+                ),
+            )
+            .filter(F.col("n_kept") > 0)
+        )
+        new_ids = new_sigs.select("doc_id").distinct()
+        new_counts = (
+            capped_anchor.join(new_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_kept"))
+        )
+        kept_next = old_counts.unionByName(new_counts)
+
+    return DedupState(
+        sigs=state.sigs.unionByName(new_sigs),
+        buckets=buckets_next,
+        assignments=new_assignments,
+        dropped_anchor_keys=dropped_next,
+        kept_anchor_counts=kept_next,
+    )

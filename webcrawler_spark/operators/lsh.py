@@ -261,14 +261,12 @@ def simhash_edges(
     )
 
 
-def unified_capped_buckets(
-    sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
-) -> DataFrame:
-    """(gen, key, doc_id) bucket rows for all three candidate generators
-    after ONE exchange and the per-generator cap policies (truncate to
-    max_bucket_size for lsh/simhash, drop-if-over anchor_max_bucket for
-    anchors) — two window functions over the same (gen, key) partitioning.
-    """
+def bucket_rows(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """UNCAPPED (gen, key, doc_id) bucket rows for all candidate
+    generators. The incremental path consumes this directly: a batch's
+    rows must reach the combined cap re-decision uncapped, because a
+    batch-local cap can hide that a key was touched at all (operators/
+    incremental.py)."""
     bands = sigs.select(
         F.lit("lsh").alias("gen"), F.explode("bands").alias("key"), F.col("doc_id")
     )
@@ -285,6 +283,18 @@ def unified_capped_buckets(
             F.col("doc_id"),
         )
         buckets = buckets.unionByName(sims)
+    return buckets
+
+
+def unified_capped_buckets(
+    sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(gen, key, doc_id) bucket rows for all three candidate generators
+    after ONE exchange and the per-generator cap policies (truncate to
+    max_bucket_size for lsh/simhash, drop-if-over anchor_max_bucket for
+    anchors) — two window functions over the same (gen, key) partitioning.
+    """
+    buckets = bucket_rows(sigs, cfg)
 
     wo = Window.partitionBy("gen", "key").orderBy("doc_id")
     wc = Window.partitionBy("gen", "key")
