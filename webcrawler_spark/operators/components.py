@@ -69,22 +69,28 @@ def connected_components(
 
     Alternates large-star/small-star until the edge multiset reaches a
     fixpoint (count + order-independent xxhash64 fingerprint).
-    """
+
+    Round-6 barrier optimization (guide §1.2): each round uses a LAZY
+    localCheckpoint — the plan is truncated immediately (both star passes
+    reference their input twice, so without truncation the lineage grows
+    ~4x per round and analysis itself OOMs on deep inputs), but
+    materialization is deferred to the fingerprint aggregation — ONE Spark
+    job per round instead of eager-checkpoint-job + fingerprint-job. The
+    round structure is unchanged (batching two star rounds per barrier was
+    tried earlier and MEASURED SLOWER — real graphs converge in 1-3
+    effective rounds)."""
     cur = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_fp = None
     for _ in range(max_iterations):
-        # one large-star/small-star round per checkpoint + fingerprint.
-        # (Batching two rounds per barrier was tried to cut driver
-        # round-trips and MEASURED SLOWER at every scale probed — real
-        # graphs converge in 1-3 effective rounds, so the extra star passes
-        # cost more than the barriers they save.)
-        cur = _small_star(_large_star(cur)).localCheckpoint()
-        fp = _edge_fingerprint(cur)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        # the fingerprint job materializes the checkpoint as a side effect
+        fp = _edge_fingerprint(nxt)
+        cur = nxt
         if fp == prev_fp:
             break
         prev_fp = fp

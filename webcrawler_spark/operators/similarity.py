@@ -53,16 +53,26 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, nbr_id, cosine, rank). ``queries`` is
     broadcast (small query sets)."""
+    # round 6: norms once per vector (not per pair row) — same double math
+    nrm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     e = _as_double(embeddings, vec_col).select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"), nrm.alias("nb")
     )
     q = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"), nrm.alias("na")
     )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cosine", _cosine_col("va", "vb"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("na") * F.col("nb")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
@@ -145,18 +155,31 @@ def lsh_candidate_pairs(
     sigs = hyperplane_signatures(
         embeddings, dim, n_tables, n_bits, seed, id_col, vec_col
     )
+    # round 6 (guide §2.4): grouped pair explosion instead of a self-join —
+    # the join's two inputs each re-ran the Python signature stage and the
+    # bucket-size window (2 MapInPandas, 2 exchanges); now ONE signature
+    # pass feeds one (table, sig) exchange shared by the size filter and
+    # the groupBy. Pair explosion streams slice() arrays per row (O(bucket)
+    # memory, never the O(bucket^2) flattened pair array — max_bucket here
+    # is 5000, so the lsh.py flatten-transform pattern would materialize up
+    # to 12.5M structs per hot bucket). Same distinct a < b pairs.
     w = Window.partitionBy("table", "sig")
     kept = (
         sigs.withColumn("sz", F.count("*").over(w))
         .filter(F.col("sz") <= max_bucket)
         .drop("sz")
     )
-    a = kept.select("table", "sig", F.col("vec_id").alias("vec_id_a"))
-    b = kept.select("table", "sig", F.col("vec_id").alias("vec_id_b"))
+    grouped = (
+        kept.groupBy("table", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, ["table", "sig"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b")
+        grouped.select(F.posexplode("ids").alias("i", "vec_id_a"), F.col("ids"))
+        .select(
+            "vec_id_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("vec_id_b"),
+        )
         .distinct()
     )
 
@@ -177,27 +200,55 @@ def lsh_topk(
     sigs = hyperplane_signatures(
         embeddings, dim, n_tables, n_bits, seed, id_col, vec_col
     )
+    # round 6: one signature pass + grouped ordered-pair explosion (same
+    # rationale as lsh_candidate_pairs above); rescore joins carry a
+    # precomputed norm so the per-candidate work is one dot product, not
+    # three array aggregates (identical double arithmetic).
     w = Window.partitionBy("table", "sig")
     kept = (
         sigs.withColumn("sz", F.count("*").over(w))
         .filter(F.col("sz") <= max_bucket)
         .drop("sz")
     )
-    a = kept.select("table", "sig", F.col("vec_id").alias("query_id"))
-    b = kept.select("table", "sig", F.col("vec_id").alias("nbr_id"))
+    grouped = (
+        kept.groupBy("table", "sig")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cand = (
-        a.join(b, ["table", "sig"])
+        grouped.select(F.explode("ids").alias("query_id"), F.col("ids"))
+        .select("query_id", F.explode("ids").alias("nbr_id"))
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id")
         .distinct()
     )
-    e = _as_double(embeddings, vec_col)
-    va = e.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
-    vb = e.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    e = _as_double(embeddings, vec_col).withColumn(
+        "_nrm",
+        F.sqrt(
+            F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
+    va = e.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
+    )
+    vb = e.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
+    )
     scored = (
         cand.join(va, "query_id")
         .join(vb, "nbr_id")
-        .withColumn("cosine", _cosine_col("va", "vb"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("na") * F.col("nb")),
+        )
     )
     rw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (

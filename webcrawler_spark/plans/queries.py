@@ -281,13 +281,31 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3-style join + agg + deterministic top-k."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    """TPC-H Q3-style join + agg + deterministic top-k.
+
+    Optimization round 6 (guide §3.1, §8): the fact table never shuffles.
+    customer(BUILDING) is broadcast into orders (dimension-sized), and the
+    resulting qualifying-order keys (|orders|/segment-count rows of one
+    BIGINT) are broadcast into lineitem — before, lineitem and orders were
+    both exchanged and sorted for a sort-merge join. The only remaining
+    exchange is the (partially aggregated) groupBy, and the top-10 is a
+    TakeOrdered, not a global sort. Inner-join reordering + projection keep
+    the aggregated row multiset identical. Cluster-scale note: the
+    qualifying-key broadcast is ~|orders|/5 keys (24 MB at sf10); beyond
+    the broadcast envelope (~100M orders) drop the explicit hint and let
+    AQE pick SMJ/SHJ — the declared result is join-strategy-independent."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.round(
@@ -313,17 +331,34 @@ LIMIT 10
 
 
 def q_nation_revenue(spark, sf_dir):
-    """TPC-H Q5-style multi-join rollup."""
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
+    """TPC-H Q5-style multi-join rollup.
+
+    Optimization round 6 (guide §3.1, §2.3, §8): before, the 6M-row fact
+    was exchanged+sorted THREE times (sort-merge joins on l_orderkey, then
+    the join output reshuffled on o_custkey, then again on l_suppkey). Now
+    every join against lineitem is a broadcast: customer into orders
+    (c_custkey, dimension-sized), the resulting order-key multiset
+    (|orders| single-BIGINT rows) into lineitem, and supplier⋈nation
+    (10k rows with n_name attached) into lineitem. Zero exchanges of fact
+    rows remain except the 25-group partial-aggregated rollup. Inner-join
+    reordering preserves the aggregated multiset exactly. Cluster-scale
+    note: the order-key broadcast grows with |orders| (~12 MB at sf1,
+    ~120 MB at sf10) — beyond the broadcast envelope, drop that hint (AQE
+    falls back to SMJ/SHJ); the declared result is strategy-independent."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -502,28 +537,72 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """exact 5-gram Jaccard dedup (brute force, SQL-parity variant of B6):
     pairs with Jaccard >= 0.8 over distinct word-5-gram sets.
 
-    The self-join applies the engine's deterministic bucket cap (the 200
+    The pair stream applies the engine's deterministic bucket cap (the 200
     smallest doc_ids per shingle, lsh.py) so one boilerplate shingle shared
     by k docs cannot emit k^2 join rows at scale. The DuckDB oracle applies
     the IDENTICAL cap (row_number <= cap per shingle, ordered by doc_id), so
     the parity holds by construction at every scale — not only while no
     bucket happens to exceed the cap (at contract scale the max bucket is 4,
-    so capped == uncapped anyway)."""
-    sh = _shingle_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    w = Window.partitionBy("shingle").orderBy("doc_id")
+    so capped == uncapped anyway).
+
+    Optimization round 6 (guide §2.3/§2.4): same capped-pair semantics at a
+    fraction of the work. The shingle stream is exploded ONCE and shuffled
+    ONCE by shingle (window cap + groupBy/collect_list share the exchange;
+    pair explosion is the engine's grouped higher-order pattern, identical to
+    a capped self-join because (doc_id, shingle) rows are distinct and
+    sorted), instead of a string self-join whose two inputs plus the two
+    per-doc size aggregations each re-exploded the corpus (4 Generate nodes,
+    2 window exchanges, 2 aggregation exchanges before). Per-doc distinct-
+    shingle counts are a per-row projection (size(array_distinct(...)) —
+    no explode, no shuffle at all), joined onto the (small) surviving
+    intersection pairs.
+
+    The bucket key is xxhash64(shingle), not the shingle string (guide
+    §2.3 "shuffle keys and metadata instead of payloads"): the exchanged
+    row shrinks from ~40 bytes of string to 16 bytes and the window sort
+    compares longs. Per-doc shingles are distinct, so absent a 64-bit
+    collision the (key, doc_id) stream, the cap, and the per-pair shared
+    counts are IDENTICAL to the string formulation — the same accepted
+    convention as the engine's hashed-shingle metrics (operators/
+    hashing.py), whose string-based oracle is green at every scale;
+    collision odds are ~n_shingles^2/2^64 (~1e-11 at contract scale)."""
+    sh = _shingle_df(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("k")
+    )
+    w = Window.partitionBy("k").orderBy("doc_id")
     capped = (
         sh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= DEFAULT_CONFIG.max_bucket_size)
         .drop("rn")
     )
-    a = capped.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("inter"))
+    grouped = (
+        capped.groupBy("k")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
+    ).agg(F.count("*").alias("inter"))
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    sizes = d.filter(F.size("toks") >= 5).select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 5),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 5)),
+                )
+            )
+        ).alias("n_sh"),
     )
     na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
@@ -654,15 +733,35 @@ def _quantized(col):
 
 def q_embedding_topk(spark, sf_dir):
     """similarity search: brute-force cosine top-5 neighbors for the first 10
-    vectors (quantized int64 dot products => bit-identical across engines)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized(F.col("embedding")).alias("q")
+    vectors (quantized int64 dot products => bit-identical across engines).
+
+    Optimization round 6 (guide §1.2 per-task work + §2.6 idle capacity):
+    (a) squared norms are computed ONCE per vector before the join — the old
+    plan re-evaluated both array aggregates on every one of the q*n joined
+    rows (3x the lambda work); (b) the corpus side is the STREAM side of the
+    broadcast nested-loop join, repartitioned to the session parallelism —
+    before, the 10-row query side streamed through a single scan partition,
+    so the whole O(q*n*dim) scoring ran in ONE task while 31 cores idled.
+    Identical arithmetic (same int64 sums, same round), identical rows."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantized(F.col("embedding")).alias("q"))
+        .withColumn(
+            "nrm", F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+        )
     )
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
     )
+    nbrs = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    ).repartition(spark.sparkContext.defaultParallelism)
     dots = (
-        q.crossJoin(e.select(F.col("vec_id").alias("nbr_id"), F.col("q").alias("qb")))
+        nbrs.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("nbr_id"))
         .withColumn(
             "dot",
@@ -671,14 +770,6 @@ def q_embedding_topk(spark, sf_dir):
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ),
-        )
-        .withColumn(
-            "na",
-            F.aggregate("qa", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
-        )
-        .withColumn(
-            "nb",
-            F.aggregate("qb", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
         )
         .withColumn(
             "cosine", F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6)
@@ -725,7 +816,12 @@ def q_embedding_dup_pairs(spark, sf_dir):
     similarity.lsh_candidate_pairs); rescoring makes precision exactly 1."""
     from webcrawler_spark.operators.similarity import lsh_candidate_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    # round 6: single-row-group input — repartition so the hyperplane
+    # signature stage (Python matmuls) runs at session width, not on the
+    # 1-2 tasks the unsplittable scan yields
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cand = lsh_candidate_pairs(emb)
     e = emb.select("vec_id", _quantized(F.col("embedding")).alias("q"))
     a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"))
@@ -780,10 +876,26 @@ WHERE round(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))
 def q_extract_visible_text(spark, sf_dir):
     """F7 driver-checked byte-identity: wrap each document's text in a page,
     run the full extraction stage, and return the extracted text — the
-    oracle is the identity on documents."""
+    oracle is the identity on documents.
+
+    Optimization round 6 (guide §2.4/§4.1): doc_id rides through the Arrow
+    stage as a passthrough column, replacing the join-back on url — which
+    cost a second full scan + html synthesis of the corpus AND a string-key
+    join/exchange. Same rows by construction: the join was 1:1 on the
+    synthesized url (extraction preserves it), now the id is carried
+    directly.
+
+    Second round-6 fix: the contract parquet files are written as a SINGLE
+    row group, so the scan cannot split — the whole Arrow extraction stage
+    ran in <= 2 tasks while 30 cores idled. One cheap round-robin
+    repartition of the ~6 MB scan unlocks full-width extraction (the
+    shuffle moves KBs per core; the Python parse work is the expensive
+    part by orders of magnitude)."""
     from webcrawler_spark.extract.spark_extract import extract_pages, good_pages
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     web = d.select(
         F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -797,11 +909,8 @@ def q_extract_visible_text(spark, sf_dir):
         ).alias("html"),
         F.col("doc_id"),
     )
-    pages = good_pages(extract_pages(web.select("url", "warc_ts", "html")))
-    return (
-        pages.join(web.select("url", "doc_id"), "url")
-        .select("doc_id", "text")
-    )
+    pages = good_pages(extract_pages(web, passthrough=("doc_id",)))
+    return pages.select("doc_id", "text")
 
 
 SQL_EXTRACT_VISIBLE_TEXT = """
@@ -811,8 +920,13 @@ SELECT doc_id, text FROM documents
 
 def _page_df(spark, sf_dir):
     """Synthesized pages exercising links/headings/meta through the real
-    extraction stage (F7-F9, F12, G4): deterministic html per document."""
-    d = load(spark, sf_dir, "documents")
+    extraction stage (F7-F9, F12, G4): deterministic html per document.
+    Repartitioned before the Arrow stage — single-row-group input files
+    otherwise serialize the extraction onto <= 2 cores (see
+    q_extract_visible_text)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         F.concat(F.lit("https://docs.example/p/"), F.col("doc_id")).alias("url"),
@@ -847,11 +961,17 @@ def _page_df(spark, sf_dir):
 
 
 def _extracted_pages(spark, sf_dir):
+    # round 6: doc_id passthrough through the Arrow stage instead of a
+    # join-back on url (same 1:1 rows, no second scan/extraction, no join —
+    # see q_extract_visible_text)
     from webcrawler_spark.extract.spark_extract import extract_pages, good_pages
 
     web = _page_df(spark, sf_dir)
-    pages = good_pages(extract_pages(web.select("url", "warc_ts", "html")))
-    return pages.join(web.select("url", "doc_id"), "url")
+    return good_pages(
+        extract_pages(
+            web.select("url", "warc_ts", "html", "doc_id"), passthrough=("doc_id",)
+        )
+    )
 
 
 def q_link_classification(spark, sf_dir):
@@ -982,9 +1102,15 @@ def _doc_signatures(spark, sf_dir):
 
     # cached: build_edges fans out into 5 branches (exact/lsh/anchor/simhash/
     # verify) that would otherwise re-run the Arrow signature stage each
-    # (the pipeline path checkpoints signatures to parquet instead)
+    # (the pipeline path checkpoints signatures to parquet instead).
+    # round 6: repartitioned first — the single-row-group contract files
+    # otherwise run the whole Arrow signature stage on <= 2 cores (cold
+    # path; the cache hides this from warm reps but not from first runs)
     return compute_signatures(
-        load(spark, sf_dir, "documents").select("doc_id", "text"), DEFAULT_CONFIG
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism),
+        DEFAULT_CONFIG,
     ).cache()
 
 
@@ -1136,7 +1262,13 @@ def q_simhash_consistency(spark, sf_dir):
     either side."""
     from webcrawler_spark.operators.signatures import compute_signatures
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 6: repartition before the (Python) signature stage — see
+    # _doc_signatures (single-row-group scan)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = F.split("text", " ")
     base = docs.filter(F.size(toks) >= SIMHASH_PROBE_MIN_TOKENS)
     copies = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
@@ -1365,7 +1497,13 @@ def q_dedup_recall(spark, sf_dir):
     from webcrawler_spark.operators.lsh import build_edges
     from webcrawler_spark.operators.signatures import compute_signatures
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 6: repartition before the (Python) signature stage — see
+    # _doc_signatures (single-row-group scan)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = F.split("text", " ")
     variants = (
         docs.filter((F.col("doc_id") % 5 == 0) & (F.size(toks) >= 24))
@@ -1423,7 +1561,13 @@ def q_dedup_incremental(spark, sf_dir):
         incremental_dedup,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # round 6: repartition before the (Python) signature stages — see
+    # _doc_signatures (single-row-group scan)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     old_docs = docs.filter(F.col("doc_id") % 4 != 3)
     new_docs = docs.filter(F.col("doc_id") % 4 == 3)
     state = build_dedup_state(old_docs, _cfg)
@@ -1451,7 +1595,13 @@ def q_multimodal_dup_pairs(spark, sf_dir):
         synth_image_corpus,
     )
 
-    ids = load(spark, sf_dir, "documents").select("doc_id")
+    # round 6: repartition the id scan so synthesis + codec decode +
+    # profiling (all Python) run at session width (single-row-group input)
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     assets = synth_image_corpus(spark, ids)
     return image_dup_pairs(assets, threshold=0.9).select(
         F.col("asset_id_a").alias("doc_id_a"),
@@ -1472,7 +1622,11 @@ def q_multimodal_audio_dup_pairs(spark, sf_dir):
         synth_audio_corpus,
     )
 
-    ids = load(spark, sf_dir, "documents").select("doc_id")
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     assets = synth_audio_corpus(spark, ids)
     return audio_dup_pairs(assets, threshold=0.9).select(
         F.col("asset_id_a").alias("doc_id_a"),

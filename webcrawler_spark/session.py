@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # medium parquet stage outputs should still split across cores
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # scale-adaptive scan parallelism (round 6, guide §6): floor the
+        # split count at the session's core count so a single ~100 MB
+        # parquet file (e.g. lineitem at sf1.0) fans out over every core
+        # instead of 3-4 splits; on a cluster this tracks total cores via
+        # the same expression, and maxPartitionBytes still caps split size
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        # prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (round 6, guide §3.1/§9): skips both sort passes; AQE
+        # additionally rewrites SMJ->SHJ at runtime below the local-map
+        # threshold. Joins are strategy-independent in results.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
