@@ -559,3 +559,55 @@ def test_advance_state_chains_increments(spark, docs_df):
         ).collect()
     }
     assert got == full
+
+
+def test_advance_state_shared_recap_equivalent(spark, docs_df):
+    """Round 6 optimization contract: ONE _touched_recap shared by
+    incremental_edges and advance_state (the `recap` parameter) yields
+    exactly the state tables and assignment of the unshared path — the
+    chained edges+advance sequence pays the touched-keys re-decision once
+    (ADVICE r5). Also pins the persisted_out unpersist hooks."""
+    from webcrawler_spark.operators.incremental import (
+        _touched_recap,
+        advance_state,
+        build_dedup_state,
+        incremental_assign,
+        incremental_edges,
+    )
+
+    part0 = docs_df.filter(F.col("doc_id") % 4 <= 1)
+    part1 = docs_df.filter(F.col("doc_id") % 4 == 2)
+    docs01 = docs_df.filter(F.col("doc_id") % 4 != 3)
+
+    state0 = build_dedup_state(part0, CFG)
+    sigs1 = compute_signatures(part1, CFG).cache()
+    persisted: list = []
+    recap = _touched_recap(state0, sigs1, CFG, persisted_out=persisted)
+    edges1 = incremental_edges(state0, sigs1, CFG, docs=docs01, recap=recap)
+    assign1 = incremental_assign(state0, docs01, edges1)
+    state1 = advance_state(state0, sigs1, assign1, CFG, recap=recap)
+
+    fresh1 = build_dedup_state(docs01, CFG)
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(state1.buckets, "gen", "key", "doc_id") == rows(
+        fresh1.buckets, "gen", "key", "doc_id"
+    )
+    assert rows(state1.dropped_anchor_keys, "key") == rows(
+        fresh1.dropped_anchor_keys, "key"
+    )
+    assert rows(state1.kept_anchor_counts, "doc_id", "n_kept") == rows(
+        fresh1.kept_anchor_counts, "doc_id", "n_kept"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in assign1.collect()}
+    want = {
+        r["doc_id"]: r["cluster_id"] for r in fresh1.assignments.collect()
+    }
+    assert got == want
+
+    # the unpersist hooks collected the recap's persisted intermediates
+    assert len(persisted) == 2
+    for df in persisted:
+        df.unpersist()

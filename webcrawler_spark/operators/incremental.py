@@ -131,13 +131,25 @@ def build_dedup_state(
 
 
 def _touched_recap(
-    state: DedupState, new_sigs: DataFrame, cfg: DedupConfig
+    state: DedupState,
+    new_sigs: DataFrame,
+    cfg: DedupConfig,
+    persisted_out: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared bucket re-decision for an increment: (new_buckets, touched,
     old_touched, combined, capped). ``capped`` carries the combined-cap
     verdict over exactly the keys the batch touches; keys the original
     corpus dropped as boilerplate are excluded from the batch's rows first
     (DedupState docstring).
+
+    Round 6: the tuple is also the unit of WORK SHARING for a chained
+    increment — ``incremental_edges`` and ``advance_state`` both consume
+    the identical recap, so callers running edges-then-advance for one
+    batch compute it ONCE (pass the tuple through their ``recap``
+    parameter) instead of paying the touched-keys shuffles and windows
+    twice. ``persisted_out`` collects the internally persisted
+    intermediates (new_buckets, capped) so long-running chained jobs can
+    unpersist them once the batch's outputs are materialized.
 
     The batch's bucket rows enter UNCAPPED (lsh.bucket_rows): a batch-local
     cap would be wrong twice over — an anchor key that is boilerplate
@@ -152,7 +164,22 @@ def _touched_recap(
             F.lit("anchor").alias("gen"), F.col("key")
         )
         new_buckets = new_buckets.join(dropped, ["gen", "key"], "left_anti")
+    else:
+        # ADVICE r5: a state without the drop-list silently reintroduces
+        # the documented recall loss (51/19,159 pairs at 1M) — degrade
+        # LOUDLY so a parquet round-trip that omitted the table is caught
+        import warnings
+
+        warnings.warn(
+            "DedupState.dropped_anchor_keys is None: incremental recall "
+            "may silently degrade on boilerplate-heavy corpora (see "
+            "DedupState docstring); build states with build_dedup_state "
+            "or persist the dropped-keys table.",
+            stacklevel=3,
+        )
     new_buckets = new_buckets.persist()
+    if persisted_out is not None:
+        persisted_out.append(new_buckets)
     touched = new_buckets.select("gen", "key").distinct()
     old_touched = state.buckets.join(touched, ["gen", "key"])
     # ONE explicit exchange before the window: the union's children carry
@@ -177,6 +204,8 @@ def _touched_recap(
         .select("gen", "key", "doc_id")
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(capped)
     return new_buckets, touched, old_touched, combined, capped
 
 
@@ -185,6 +214,8 @@ def incremental_edges(
     new_sigs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     docs: DataFrame | None = None,
+    recap: tuple | None = None,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Edges with >= 1 new-batch side: exact / near / containment /
     (cfg-gated) simhash / substring kinds, same thresholds and verify as
@@ -200,10 +231,11 @@ def incremental_edges(
     # re-decide the cap policies over the COMBINED membership of touched
     # keys (same two windows as unified_capped_buckets): anchor buckets
     # whose old+new size exceeds the drop cap vanish for everyone, exactly
-    # as a full recompute would decide
-    new_buckets, touched, old_touched, combined, capped = _touched_recap(
-        state, new_sigs, cfg
-    )
+    # as a full recompute would decide. ``recap`` (round 6) lets a caller
+    # that also calls advance_state for the same batch share ONE recap.
+    if recap is None:
+        recap = _touched_recap(state, new_sigs, cfg, persisted_out)
+    new_buckets, touched, old_touched, combined, capped = recap
 
     # candidate pairs over touched keys, then drop old-old pairs (already
     # resolved in state.assignments — re-verifying them is pure waste)
@@ -218,6 +250,8 @@ def incremental_edges(
         .select("gen", "a", "b", "n_shared")
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(cand)
 
     all_sigs = state.sigs.unionByName(new_sigs)
 
@@ -284,6 +318,12 @@ def incremental_edges(
         kept_counts,
         cfg,
     )
+    if docs is not None and cfg.substring_pass:
+        # round 6: same two-consumer persist as build_edges (jaccard union
+        # + substring gate share the tier-1 survivors)
+        anchor_kept = anchor_kept.persist()
+        if persisted_out is not None:
+            persisted_out.append(anchor_kept)
     jac_cand = (
         cand.filter(F.col("gen") == "lsh")
         .select("a", "b")
@@ -369,14 +409,21 @@ def incremental_dedup(
     new_docs: DataFrame,
     all_docs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Convenience end-to-end increment: signatures for the new batch only,
     incremental edges, seeded assignment. ``all_docs`` = old + new (doc_id,
-    text) — used for the substring pass and the assignment's doc universe."""
+    text) — used for the substring pass and the assignment's doc universe.
+    ``persisted_out`` (round 6): collects every internally persisted
+    intermediate so chained callers can unpersist after materializing."""
     from webcrawler_spark.operators.signatures import compute_signatures
 
     new_sigs = compute_signatures(new_docs, cfg).persist()
-    edges = incremental_edges(state, new_sigs, cfg, docs=all_docs)
+    if persisted_out is not None:
+        persisted_out.append(new_sigs)
+    edges = incremental_edges(
+        state, new_sigs, cfg, docs=all_docs, persisted_out=persisted_out
+    )
     return incremental_assign(state, all_docs, edges)
 
 
@@ -385,6 +432,8 @@ def advance_state(
     new_sigs: DataFrame,
     new_assignments: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    recap: tuple | None = None,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DedupState:
     """Fold an absorbed batch INTO the state, so increments chain: the
     returned state equals ``build_dedup_state`` over the concatenated
@@ -400,10 +449,17 @@ def advance_state(
       the re-decision, plus the batch's surviving rows;
     - assignments: the increment's output (callers pass what
       ``incremental_assign``/``incremental_dedup`` returned).
+
+    Round 6 (ADVICE): pass the ``recap`` tuple from the batch's
+    ``incremental_edges`` call (or a direct ``_touched_recap``) so the
+    edges-then-advance sequence every chained increment runs pays the
+    touched-keys re-decision ONCE; without it this function recomputes the
+    identical recap (same shuffles and windows, plus a second persisted
+    copy of new_buckets/capped).
     """
-    new_buckets, touched, old_touched, combined, capped = _touched_recap(
-        state, new_sigs, cfg
-    )
+    if recap is None:
+        recap = _touched_recap(state, new_sigs, cfg, persisted_out)
+    new_buckets, touched, old_touched, combined, capped = recap
     buckets_next = state.buckets.join(
         touched, ["gen", "key"], "left_anti"
     ).unionByName(capped)

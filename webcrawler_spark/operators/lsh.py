@@ -419,6 +419,13 @@ def build_edges(
         kept_counts,
         cfg,
     )
+    if docs is not None and cfg.substring_pass:
+        # round 6 (guide §5): tier-1 survivors feed BOTH the jaccard-verify
+        # union and the substring length gate — persist the (tiny) pair set
+        # so the two-join tier-1 chain runs once per build, not twice
+        anchor_kept = anchor_kept.persist()
+        if persisted_out is not None:
+            persisted_out.append(anchor_kept)
     jac_cand = (
         cand.filter(F.col("gen") == "lsh")
         .select("a", "b")

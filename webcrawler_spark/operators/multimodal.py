@@ -384,19 +384,33 @@ def asset_dup_pairs(
         n_tables=n_tables, n_bits=n_bits, seed=seed,
         id_col="asset_id", vec_col="pd", max_bucket=max_bucket,
     )
-    a = feats.select(F.col("asset_id").alias("vec_id_a"), F.col("profile").alias("pa"))
-    b = feats.select(F.col("asset_id").alias("vec_id_b"), F.col("profile").alias("pb"))
+    # round 6: squared norms once per asset (not per candidate row — the
+    # threshold filter is pushed into the join condition, so the cosine
+    # expression evaluates twice per row; precomputed norms cut each
+    # evaluation to one dot product). Identical int64 arithmetic.
+    withn = feats.withColumn(
+        "_nrm",
+        F.aggregate(
+            "profile", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+    a = withn.select(
+        F.col("asset_id").alias("vec_id_a"),
+        F.col("profile").alias("pa"),
+        F.col("_nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("asset_id").alias("vec_id_b"),
+        F.col("profile").alias("pb"),
+        F.col("_nrm").alias("nb"),
+    )
     dot = F.aggregate(
         F.zip_with("pa", "pb", lambda x, y: x * y),
         F.lit(0).cast("long"), lambda acc, x: acc + x,
     )
-    na = F.aggregate("pa", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    nb = F.aggregate("pb", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
     return (
         cand.join(a, "vec_id_a")
         .join(b, "vec_id_b")
-        .withColumn("na", na)
-        .withColumn("nb", nb)
         .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .withColumn("cosine", F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6))
         .filter(F.col("cosine") >= threshold)

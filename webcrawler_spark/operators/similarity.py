@@ -152,27 +152,38 @@ def lsh_candidate_pairs(
     48 tables with p ~ 1.7e-7 — recall is 1 up to that residual, and callers
     exact-rescore so precision is exactly 1."""
     dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    # persisted: the size aggregation and the bucket groupBy both consume
+    # the Python signature stage (~16 bytes/row x tables rows/vector —
+    # small); without it the mapInPandas stage runs twice per build
     sigs = hyperplane_signatures(
         embeddings, dim, n_tables, n_bits, seed, id_col, vec_col
-    )
+    ).persist()
     # round 6 (guide §2.4): grouped pair explosion instead of a self-join —
     # the join's two inputs each re-ran the Python signature stage and the
     # bucket-size window (2 MapInPandas, 2 exchanges); now ONE signature
-    # pass feeds one (table, sig) exchange shared by the size filter and
-    # the groupBy. Pair explosion streams slice() arrays per row (O(bucket)
-    # memory, never the O(bucket^2) flattened pair array — max_bucket here
-    # is 5000, so the lsh.py flatten-transform pattern would materialize up
-    # to 12.5M structs per hot bucket). Same distinct a < b pairs.
-    w = Window.partitionBy("table", "sig")
-    kept = (
-        sigs.withColumn("sz", F.count("*").over(w))
-        .filter(F.col("sz") <= max_bucket)
-        .drop("sz")
+    # pass feeds one (table, sig) exchange. The bucket-size filter is a
+    # partially-aggregated COUNT joined back onto the sig stream instead of
+    # a count-over-window: no sort of the full sig stream (hash aggregate,
+    # not window), the qualifying-key set is bounded by tables x 2^bits
+    # regardless of corpus size, and oversize buckets are dropped BEFORE
+    # any collect_list buffers them. Pair explosion streams slice() arrays
+    # per row (O(bucket) memory, never the O(bucket^2) flattened pair
+    # array — max_bucket here is 5000, so the lsh.py flatten-transform
+    # pattern would materialize up to 12.5M structs per hot bucket). Same
+    # distinct a < b pairs.
+    ok = (
+        sigs.groupBy("table", "sig")
+        .agg(F.count("*").alias("_sz"))
+        .filter((F.col("_sz") >= 2) & (F.col("_sz") <= max_bucket))
+        .select("table", "sig")
     )
+    # broadcast the qualifying-key set (bounded by tables x 2^bits at ANY
+    # corpus size) so the sig stream pays exactly ONE exchange — the
+    # groupBy's — with hash aggregation and no sort anywhere
     grouped = (
-        kept.groupBy("table", "sig")
+        sigs.join(F.broadcast(ok), ["table", "sig"])
+        .groupBy("table", "sig")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
     )
     return (
         grouped.select(F.posexplode("ids").alias("i", "vec_id_a"), F.col("ids"))
@@ -197,23 +208,25 @@ def lsh_topk(
     """Approximate all-pairs top-k: bucket by hyperplane signature, score
     only same-bucket pairs, exact-rescore, take top-k per vector."""
     dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    # round 6: one (persisted) signature pass + grouped ordered-pair
+    # explosion, bucket-size filter via partial-aggregated count instead of
+    # a count-over-window (no sort of the sig stream; oversize buckets are
+    # dropped before collect_list — same rationale as lsh_candidate_pairs);
+    # rescore joins carry a precomputed norm so the per-candidate work is
+    # one dot product, not three array aggregates (identical double math).
     sigs = hyperplane_signatures(
         embeddings, dim, n_tables, n_bits, seed, id_col, vec_col
-    )
-    # round 6: one signature pass + grouped ordered-pair explosion (same
-    # rationale as lsh_candidate_pairs above); rescore joins carry a
-    # precomputed norm so the per-candidate work is one dot product, not
-    # three array aggregates (identical double arithmetic).
-    w = Window.partitionBy("table", "sig")
-    kept = (
-        sigs.withColumn("sz", F.count("*").over(w))
-        .filter(F.col("sz") <= max_bucket)
-        .drop("sz")
+    ).persist()
+    ok = (
+        sigs.groupBy("table", "sig")
+        .agg(F.count("*").alias("_sz"))
+        .filter((F.col("_sz") >= 2) & (F.col("_sz") <= max_bucket))
+        .select("table", "sig")
     )
     grouped = (
-        kept.groupBy("table", "sig")
+        sigs.join(F.broadcast(ok), ["table", "sig"])
+        .groupBy("table", "sig")
         .agg(F.collect_list("vec_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
     )
     cand = (
         grouped.select(F.explode("ids").alias("query_id"), F.col("ids"))

@@ -514,22 +514,28 @@ JOIN documents b ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
 """
 
 
+def _shingle_hashes(toks):
+    """Distinct word-5-gram keys per doc as xxhash64 over the token SLICE
+    (round 6): tokens are space-split, so joining them with spaces is
+    injective and hashing the 5-token slice buckets exactly like hashing
+    the joined string — without ever materializing the ~40-byte shingle
+    strings (measured ~25% off the explode pass at sf1.0). Collision odds
+    are the accepted hashed-shingle convention (see q_ngram_jaccard_pairs
+    docstring)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.xxhash64(F.slice(toks, i + 1, 5)),
+        )
+    )
+
+
 def _shingle_df(spark, sf_dir):
-    """distinct word-5-gram string shingles per doc (docs with >= 5 tokens)."""
+    """distinct word-5-gram shingle KEYS per doc (docs with >= 5 tokens)."""
     d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     return (
         d.filter(F.size("toks") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("toks") - 5),
-                        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 5)),
-                    )
-                )
-            ).alias("shingle"),
-        )
+        .select("doc_id", F.explode(_shingle_hashes(F.col("toks"))).alias("k"))
     )
 
 
@@ -566,9 +572,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     convention as the engine's hashed-shingle metrics (operators/
     hashing.py), whose string-based oracle is green at every scale;
     collision odds are ~n_shingles^2/2^64 (~1e-11 at contract scale)."""
-    sh = _shingle_df(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("k")
-    )
+    sh = _shingle_df(spark, sf_dir)
     w = Window.partitionBy("k").orderBy("doc_id")
     capped = (
         sh.withColumn("rn", F.row_number().over(w))
@@ -594,15 +598,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ).agg(F.count("*").alias("inter"))
     d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     sizes = d.filter(F.size("toks") >= 5).select(
-        "doc_id",
-        F.size(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 5),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 5)),
-                )
-            )
-        ).alias("n_sh"),
+        "doc_id", F.size(_shingle_hashes(F.col("toks"))).alias("n_sh")
     )
     na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
@@ -812,20 +808,52 @@ def q_embedding_dup_pairs(spark, sf_dir):
     via hyperplane-LSH bucketed candidates + exact quantized rescore (the
     only shuffle is by bucket key — no crossJoin anywhere; the DuckDB oracle
     stays the brute-force all-pairs formulation). Candidate recall at the
-    0.95 threshold is 1 - ~1.7e-7 per qualifying pair (48 tables x 12 bits,
-    similarity.lsh_candidate_pairs); rescoring makes precision exactly 1."""
+    0.95 threshold is 1 - ~6.6e-5 per boundary pair (48 tables x 16 bits;
+    pairs at >= 0.97 miss with < 3e-7 — similarity.lsh_candidate_pairs);
+    rescoring makes precision exactly 1.
+
+    Round 6 (guide §1.2 step 1 — fix the algorithm before the plumbing):
+    12-bit signatures put 20k random 64-dim vectors into ~4k buckets/table,
+    yielding a 3.4M-pair candidate set at sf1.0 (~17% of ALL pairs) whose
+    exact rescore dominated the query. 16-bit signatures cut random-pair
+    collisions 16x (~0.2M candidates) while the qualifying-pair miss odds
+    stay negligible (above) — measured brute-force: the corpus has ZERO
+    pairs >= 0.95 at every probed sf, so the 0.9+ regime the tables are
+    tuned for is far from the data's ~0.5 cosine ceiling."""
     from webcrawler_spark.operators.similarity import lsh_candidate_pairs
 
     # round 6: single-row-group input — repartition so the hyperplane
     # signature stage (Python matmuls) runs at session width, not on the
-    # 1-2 tasks the unsplittable scan yields
-    emb = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # 1-2 tasks the unsplittable scan yields (the rescore sides below stay
+    # on the raw scan: they are broadcast builds, no parallelism needed)
+    cand = lsh_candidate_pairs(
+        load(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        n_bits=16,
     )
-    cand = lsh_candidate_pairs(emb)
-    e = emb.select("vec_id", _quantized(F.col("embedding")).alias("q"))
-    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"))
-    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb"))
+    # norms once per vector, not per candidate row (and the optimizer
+    # pushes the cosine filter into the join condition, evaluating the
+    # expression twice per row — precomputed norms cut each evaluation to
+    # one dot product); identical int64 arithmetic and rounding
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantized(F.col("embedding")).alias("q"))
+        .withColumn(
+            "nrm",
+            F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+        )
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         cand.join(a, "vec_id_a")
         .join(b, "vec_id_b")
@@ -837,18 +865,7 @@ def q_embedding_dup_pairs(spark, sf_dir):
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 )
-                / (
-                    F.sqrt(
-                        F.aggregate(
-                            "qa", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-                        )
-                    )
-                    * F.sqrt(
-                        F.aggregate(
-                            "qb", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-                        )
-                    )
-                ),
+                / (F.sqrt("na") * F.sqrt("nb")),
                 6,
             ),
         )
@@ -1103,15 +1120,33 @@ def _doc_signatures(spark, sf_dir):
     # cached: build_edges fans out into 5 branches (exact/lsh/anchor/simhash/
     # verify) that would otherwise re-run the Arrow signature stage each
     # (the pipeline path checkpoints signatures to parquet instead).
-    # round 6: repartitioned first — the single-row-group contract files
+    # round 6: (a) repartitioned first — the single-row-group contract files
     # otherwise run the whole Arrow signature stage on <= 2 cores (cold
-    # path; the cache hides this from warm reps but not from first runs)
-    return compute_signatures(
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism),
-        DEFAULT_CONFIG,
-    ).cache()
+    # path; the cache hides this from warm reps but not from first runs);
+    # (b) the cached projection carries ONLY the columns build_edges reads
+    # under the active config — in exact-verify mode the 128-long minhash
+    # array (the widest column, ~50 MB at sf1.0) is consumed inside the
+    # signature stage to derive band keys and never referenced again, yet
+    # it was cached and carried through every downstream scan of the
+    # 12-join edges DAG (guide §2.3 "project before the exchange";
+    # measured: warm build_edges 5.9 -> 4.4 s, cold 16 -> 8.5 s at sf1.0)
+    cols = ["doc_id", "sha256", "n_chars", "n_shingles", "bands", "anchors"]
+    if DEFAULT_CONFIG.verify_mode == "exact":
+        cols.append("shingles")
+    else:
+        cols.append("minhash")
+    if DEFAULT_CONFIG.simhash_edges:
+        cols.append("sim_blocks")
+    return (
+        compute_signatures(
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism),
+            DEFAULT_CONFIG,
+        )
+        .select(*cols)
+        .cache()
+    )
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
@@ -1210,7 +1245,17 @@ def q_simhash_fingerprints(spark, sf_dir):
     values (blake2b token hashing is not SQL-expressible) — the driver row
     for B7 is `simhash_consistency`; bit-exactness of the fingerprints is
     pinned by pytest against the sequential numpy oracle."""
-    return _doc_signatures(spark, sf_dir).select("doc_id", "simhash")
+    # computes its own signature pass: the _doc_signatures cache is
+    # projected to the columns the flagship DAG reads (round 6) and no
+    # longer carries `simhash`
+    from webcrawler_spark.operators.signatures import compute_signatures
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return compute_signatures(docs, DEFAULT_CONFIG).select("doc_id", "simhash")
 
 
 # shared constants of the simhash property probe — single source for BOTH

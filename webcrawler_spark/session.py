@@ -53,6 +53,14 @@ def get_spark(
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )
+        # round 6 (guide §1.2 measure-first): the Partial WindowGroupLimit
+        # that Spark inserts under rank-filter windows pays a FULL map-side
+        # sort before the exchange; on this engine's capped windows the
+        # keys are mostly unique (shingle/bucket caps of 200 prune almost
+        # nothing map-side), so the extra sort is pure overhead — measured
+        # 2x on the ngram cap window at sf1.0 (5.8 -> 3.0 s). Re-enable
+        # per-job on corpora with hot keys where rows-per-key >> cap.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

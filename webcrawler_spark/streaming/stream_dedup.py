@@ -51,24 +51,34 @@ def stream_signatures(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         pages = good_pages(extract_pages(batch_df))
+        # round 6: batch-scoped persist — the signature branch and the
+        # url join-back both consume the Arrow extraction subtree, which
+        # otherwise runs TWICE per micro-batch (guide §5 caching: reused
+        # AND expensive to recompute); unpersisted before returning so
+        # state never accumulates across batches
         docs = pages.select(
             F.xxhash64("url").alias("doc_id"), F.col("url"), F.col("text")
-        )
-        sigs = compute_signatures(docs, cfg).join(
-            docs.select("doc_id", "url"), "doc_id"
-        )
-        seen_path = os.path.join(output_dir, "signatures")
-        spark_ = batch_df.sparkSession
+        ).persist()
         try:
-            seen = spark_.read.parquet(seen_path).select("sha256").distinct()
-            flagged = sigs.join(
-                seen.withColumn("_dup", F.lit(True)), "sha256", "left"
-            ).withColumn("is_exact_dup", F.coalesce("_dup", F.lit(False))).drop("_dup")
-        except Exception:  # first batch: nothing seen yet
-            flagged = sigs.withColumn("is_exact_dup", F.lit(False))
-        flagged.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            seen_path
-        )
+            sigs = compute_signatures(docs, cfg).join(
+                docs.select("doc_id", "url"), "doc_id"
+            )
+            seen_path = os.path.join(output_dir, "signatures")
+            spark_ = batch_df.sparkSession
+            try:
+                seen = spark_.read.parquet(seen_path).select("sha256").distinct()
+                flagged = sigs.join(
+                    seen.withColumn("_dup", F.lit(True)), "sha256", "left"
+                ).withColumn(
+                    "is_exact_dup", F.coalesce("_dup", F.lit(False))
+                ).drop("_dup")
+            except Exception:  # first batch: nothing seen yet
+                flagged = sigs.withColumn("is_exact_dup", F.lit(False))
+            flagged.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(seen_path)
+        finally:
+            docs.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
