@@ -335,7 +335,8 @@ def test_build_edges_persisted_out_unpersists(sigs, docs_df):
     held = []
     edges = build_edges(sigs, CFG, docs=docs_df, persisted_out=held)
     n = edges.count()
-    assert len(held) == 2
+    # capped buckets + candidate pairs + (substring pass on) tier-1 survivors
+    assert len(held) == 3
     for df in held:
         assert df.storageLevel.useMemory or df.storageLevel.useDisk
         df.unpersist()
