@@ -112,7 +112,14 @@ def verify_substring_pairs(gated: DataFrame, docs: DataFrame) -> DataFrame:
     gated pairs for free off the tier-1 join and calls this directly."""
     ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
-    joined = gated.join(ta, "a").join(tb, "b")
+    # rebalance before the Python stage: the (tiny) pair set is broadcast
+    # against the docs scan, so the join output inherits the scan's split
+    # count — mostly-empty partitions that each still launch a Python
+    # worker task. The AQE rebalance packs the surviving (pair, texts) rows
+    # into ~advisory-sized partitions at any scale (it is NOT cached, so
+    # AQE is free to coalesce), and the exchange moves only verified-pair
+    # texts, O(true pairs).
+    joined = gated.join(ta, "a").join(tb, "b").hint("rebalance")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

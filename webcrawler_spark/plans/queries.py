@@ -32,6 +32,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _cache_partitions(path: str, bytes_per_part: int = 32 * 1024 * 1024) -> int:
+    """Partition count for a CACHED derivative of `path`, sized from the
+    input bytes (guide §2.2 "fewer, larger partitions"): cached signature/
+    feature tables are scanned many times per query, and each warm scan
+    pays a task launch per partition — a cache split by core count costs
+    more in task overhead than it wins in parallelism once partitions drop
+    below a few MB. Scale-adaptive by construction: a 100 TB input yields
+    ~3M partitions, the 6 MB contract table yields 1."""
+    import os
+
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 8
+    return max(1, (size + bytes_per_part - 1) // bytes_per_part)
+
+
 # --------------------------------------------------------------------------
 # A. reference-operator queries
 # --------------------------------------------------------------------------
@@ -553,9 +570,10 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
     Optimization round 6 (guide §2.3/§2.4): same capped-pair semantics at a
     fraction of the work. The shingle stream is exploded ONCE and shuffled
-    ONCE by shingle (window cap + groupBy/collect_list share the exchange;
-    pair explosion is the engine's grouped higher-order pattern, identical to
-    a capped self-join because (doc_id, shingle) rows are distinct and
+    ONCE by shingle into a single hash aggregate (the cap is a slice of the
+    sorted collected bucket — no window, no sort; pair explosion is the
+    engine's grouped higher-order pattern, identical to a capped self-join
+    because (doc_id, shingle) rows are distinct and
     sorted), instead of a string self-join whose two inputs plus the two
     per-doc size aggregations each re-exploded the corpus (4 Generate nodes,
     2 window exchanges, 2 aggregation exchanges before). Per-doc distinct-
@@ -573,15 +591,25 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     hashing.py), whose string-based oracle is green at every scale;
     collision odds are ~n_shingles^2/2^64 (~1e-11 at contract scale)."""
     sh = _shingle_df(spark, sf_dir)
-    w = Window.partitionBy("k").orderBy("doc_id")
-    capped = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= DEFAULT_CONFIG.max_bucket_size)
-        .drop("rn")
-    )
+    # the cap ("the max_bucket_size smallest doc_ids per shingle") is
+    # applied INSIDE the aggregation: (k, doc_id) rows are distinct, so
+    # slice(sort_array(collect_list(doc_id)), 1, cap) is exactly the
+    # row_number()-window cap with zero windows and zero sorts — the one
+    # exchange feeds a hash aggregate (a window would sort every partition;
+    # with the partial WindowGroupLimit it would sort map-side too, for
+    # ~no pruning on these mostly-unique keys). Memory note: collect_list
+    # buffers a whole bucket before the slice — acceptable in this
+    # brute-force parity query; the ENGINE path (lsh.py) caps before
+    # collecting, which is the 100 TB-safe shape.
     grouped = (
-        capped.groupBy("k")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        sh.groupBy("k")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")),
+                1,
+                DEFAULT_CONFIG.max_bucket_size,
+            ).alias("ids")
+        )
         .filter(F.size("ids") >= 2)
     )
     pairs = grouped.select(
@@ -1130,6 +1158,14 @@ def _doc_signatures(spark, sf_dir):
     # it was cached and carried through every downstream scan of the
     # 12-join edges DAG (guide §2.3 "project before the exchange";
     # measured: warm build_edges 5.9 -> 4.4 s, cold 16 -> 8.5 s at sf1.0)
+    # (c) the CACHE is compacted to ~32 MB partitions (derived from the
+    # input size, not the core count): the pre-compute repartition is right
+    # for the Arrow stage (CPU-bound per row) but wrong as a cache layout —
+    # every warm scan of a 32-partition cache of tiny partitions pays ~30
+    # extra task launches per stage, and the edges DAG scans this cache
+    # ~10x per build (measured at 10x scale: warm anchor_candidates 1.19 s
+    # with a 32-partition cache vs 0.56 s with a size-derived one). AQE
+    # cannot do this itself: cached plans pin their output partitioning.
     cols = ["doc_id", "sha256", "n_chars", "n_shingles", "bands", "anchors"]
     if DEFAULT_CONFIG.verify_mode == "exact":
         cols.append("shingles")
@@ -1145,6 +1181,7 @@ def _doc_signatures(spark, sf_dir):
             DEFAULT_CONFIG,
         )
         .select(*cols)
+        .repartition(_cache_partitions(f"{sf_dir}/documents.parquet"), "doc_id")
         .cache()
     )
 

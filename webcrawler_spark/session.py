@@ -53,14 +53,17 @@ def get_spark(
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )
-        # round 6 (guide §1.2 measure-first): the Partial WindowGroupLimit
-        # that Spark inserts under rank-filter windows pays a FULL map-side
-        # sort before the exchange; on this engine's capped windows the
-        # keys are mostly unique (shingle/bucket caps of 200 prune almost
-        # nothing map-side), so the extra sort is pure overhead — measured
-        # 2x on the ngram cap window at sf1.0 (5.8 -> 3.0 s). Re-enable
-        # per-job on corpora with hot keys where rows-per-key >> cap.
-        .config("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+        # round 6 note: windowGroupLimitThreshold stays at the Spark
+        # default. An earlier batch set it to -1 for the ngram cap window
+        # (whose keys are mostly unique, so the partial map-side limit paid
+        # a full sort for ~no pruning), but the A/B at 10x scale showed the
+        # engine's OWN rank-filter windows (LSH band buckets, anchor
+        # buckets, link_budget top-k) have heavily repeated keys where the
+        # partial limit prunes most rows before the exchange: disabling it
+        # globally cost minhash_dup_pairs 2x (8.3 vs 4.1 s cold) and
+        # substring_dup_pairs ~20%. The ngram query instead dropped its
+        # window outright (slice(sort_array(collect_list())) in the groupBy
+        # it already does).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
