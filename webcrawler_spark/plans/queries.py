@@ -538,11 +538,20 @@ def _shingle_hashes(toks):
     the joined string — without ever materializing the ~40-byte shingle
     strings (measured ~25% off the explode pass at sf1.0). Collision odds
     are the accepted hashed-shingle convention (see q_ngram_jaccard_pairs
-    docstring)."""
+    docstring). The five tokens are passed as separate xxhash64 arguments
+    rather than one sliced array: no per-shingle array allocation, same
+    injective keying (measured another ~25% off the explode stage at 10x:
+    1.85 -> 1.35 s)."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.xxhash64(F.slice(toks, i + 1, 5)),
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.xxhash64(
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+            ),
         )
     )
 
