@@ -336,6 +336,13 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
         ("https://d1.ex/d", "epsilon zeta"),
         ("https://d2.ex/b", "gamma delta"),  # d2 never saw this => not dup
     ]), in_dir / "b2.parquet")
+    # FileStreamSource orders files by modification time; two writes in the
+    # same clock tick can tie (or invert), processing b2's rows first and
+    # flipping the dup flags. Pin the intended batch order explicitly.
+    import os, time
+    now = time.time()
+    os.utime(in_dir / "b1.parquet", (now - 60, now - 60))
+    os.utime(in_dir / "b2.parquet", (now, now))
 
     schema = spark.read.parquet(str(in_dir)).schema
     q = stream_stateful_dedup(

@@ -558,10 +558,25 @@ def _shingle_hashes(toks):
 
 def _shingle_df(spark, sf_dir):
     """distinct word-5-gram shingle KEYS per doc (docs with >= 5 tokens)."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("hs").alias("k")
+    )
+
+
+def _shingle_arrays(spark, sf_dir):
+    """(doc_id, hs: array<long>) — the distinct hashed 5-gram set per doc,
+    CACHED: the ngram query consumes it twice (the exploded key stream and
+    the per-doc size projection), and without the cache each consumer
+    re-pays tokenize + 200 hashes per doc. Cache partitioning stays at
+    scan parallelism (unlike the signature cache, the heavy consumer here
+    is the CPU-bound explode, which wants width, and there are only two
+    warm scans). Same class of cached intermediate as _doc_signatures'
+    shingles column."""
     d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     return (
         d.filter(F.size("toks") >= 5)
-        .select("doc_id", F.explode(_shingle_hashes(F.col("toks"))).alias("k"))
+        .select("doc_id", _shingle_hashes(F.col("toks")).alias("hs"))
+        .cache()
     )
 
 
@@ -633,9 +648,10 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     inter = pairs.groupBy(
         F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
     ).agg(F.count("*").alias("inter"))
-    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
-    sizes = d.filter(F.size("toks") >= 5).select(
-        "doc_id", F.size(_shingle_hashes(F.col("toks"))).alias("n_sh")
+    # per-doc sizes from the same cached hash arrays the key stream
+    # explodes — one tokenize+hash pass per corpus, two consumers
+    sizes = _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.size("hs").alias("n_sh")
     )
     na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
