@@ -117,7 +117,11 @@ def _kept_anchor_stream(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def anchor_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+def anchor_candidates(
+    sigs: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    persisted_out: list[DataFrame] | None = None,
+) -> DataFrame:
     """B8 candidates: docs sharing anchor shingles (hash % mod == 0).
 
     Oversized anchor buckets are DROPPED, not truncated: a shingle shared by
@@ -126,8 +130,15 @@ def anchor_candidates(sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> Dat
     while genuine containment pairs are also discoverable via rare anchors.
     The pair stream carries shared-anchor counts (a groupBy instead of
     distinct — same shuffle) feeding the tier-1 containment estimate.
+
+    The kept-anchor stream is persisted: its two consumers (the bucket
+    groupBy and the per-doc kept counts) would otherwise each re-run the
+    explode + count-over-window subtree (round 6; same persisted_out
+    unpersist convention as build_edges).
     """
-    kept = _kept_anchor_stream(sigs, cfg)
+    kept = _kept_anchor_stream(sigs, cfg).persist()
+    if persisted_out is not None:
+        persisted_out.append(kept)
     grouped = (
         kept.groupBy("key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

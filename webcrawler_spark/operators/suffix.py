@@ -140,13 +140,15 @@ def verify_substring_pairs(gated: DataFrame, docs: DataFrame) -> DataFrame:
     return joined.mapInPandas(gen, schema=_PAIR_SCHEMA)
 
 
-def substring_edges(sigs: DataFrame, docs: DataFrame, cfg=None) -> DataFrame:
+def substring_edges(
+    sigs: DataFrame, docs: DataFrame, cfg=None, persisted_out=None
+) -> DataFrame:
     """Anchor candidates -> exact-substring edges (kind='substring')."""
     from webcrawler_spark.config import DEFAULT_CONFIG
     from webcrawler_spark.operators.lsh import anchor_candidates
 
     cfg = cfg or DEFAULT_CONFIG
-    cand = anchor_candidates(sigs, cfg)
+    cand = anchor_candidates(sigs, cfg, persisted_out=persisted_out)
     verdicts = substring_containment(cand, docs, meta=sigs)
     return verdicts.filter(F.col("is_substring")).select(
         "a", "b", F.lit("substring").alias("kind")
