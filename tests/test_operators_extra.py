@@ -68,6 +68,43 @@ def test_lsh_candidate_pairs_cover_dup_threshold(embeddings):
     assert brute <= got
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # q_embedding_dup_pairs' production settings (96 tables x 20 bits,
+    # round 6): the longer signature must still recover every planted
+    # >= 0.95 pair — the table count outweighs the per-table hit-rate loss
+    cand_prod = lsh_candidate_pairs(embeddings, n_tables=96, n_bits=20)
+    got_prod = {(r["vec_id_a"], r["vec_id_b"]) for r in cand_prod.collect()}
+    assert brute <= got_prod
+
+
+def test_embedding_dup_pair_settings_cover_planted_pairs(embeddings):
+    """End-to-end at the query's LSH settings: candidates + exact rescore
+    find exactly the brute-force >= 0.95 pairs (precision AND recall 1 on
+    the planted corpus)."""
+    from webcrawler_spark.operators.similarity import (
+        _cosine_col,
+        lsh_candidate_pairs,
+    )
+
+    e = embeddings.withColumn("v", F.col("embedding").cast("array<double>"))
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    brute = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cosine", _cosine_col("va", "vb"))
+        .filter(F.col("cosine") >= 0.95)
+        .collect()
+    }
+    cand = lsh_candidate_pairs(embeddings, n_tables=96, n_bits=20)
+    rescored = (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .withColumn("cosine", _cosine_col("va", "vb"))
+        .filter(F.col("cosine") >= 0.95)
+    )
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in rescored.collect()}
+    assert got == brute
 
 
 def test_multimodal_features(spark):

@@ -625,8 +625,31 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     # buffers a whole bucket before the slice — acceptable in this
     # brute-force parity query; the ENGINE path (lsh.py) caps before
     # collecting, which is the 100 TB-safe shape.
+    #
+    # Shared-key prefilter (round 6, guide §2.3 "shuffle fewer bytes"):
+    # ~99% of shingle keys are singletons that can never produce a pair,
+    # yet the collect_list aggregate allocated a buffer for every one of
+    # them. Pass 1 exchanges the 8-byte KEY ONLY into a scalar count and
+    # keeps keys seen >= 2 times; pass 2 re-explodes the cached hash
+    # arrays and collects doc-lists only for those keys (the prefilter
+    # set is joined map-side). Provably identical groups: a key passes
+    # the count filter iff its collected list would have had size >= 2 —
+    # the same keys, the same (distinct, sorted, capped) lists. Measured
+    # at 10x: grouped stage 2.12 -> 1.50 s. Envelope: the broadcast is
+    # O(keys shared by >= 2 docs) — bounded by the corpus's true shared-
+    # shingle structure, fine wherever this brute-force parity query is
+    # runnable at all (the all-corpus engine path is minhash_dup_pairs).
+    hot = (
+        _shingle_arrays(spark, sf_dir)
+        .select(F.explode("hs").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("k")
+    )
     grouped = (
-        sh.groupBy("k")
+        sh.join(F.broadcast(hot), "k")
+        .groupBy("k")
         .agg(
             F.slice(
                 F.sort_array(F.collect_list("doc_id")),
@@ -861,18 +884,25 @@ def q_embedding_dup_pairs(spark, sf_dir):
     via hyperplane-LSH bucketed candidates + exact quantized rescore (the
     only shuffle is by bucket key — no crossJoin anywhere; the DuckDB oracle
     stays the brute-force all-pairs formulation). Candidate recall at the
-    0.95 threshold is 1 - ~6.6e-5 per boundary pair (48 tables x 16 bits;
-    pairs at >= 0.97 miss with < 3e-7 — similarity.lsh_candidate_pairs);
-    rescoring makes precision exactly 1.
+    0.95 threshold is 1 - ~5.4e-6 per boundary pair (96 tables x 20 bits:
+    per-bit match p = 1 - acos(.95)/pi ~ 0.899, per-table bucket hit
+    p^20 ~ 0.119, miss all 96 tables (1-0.119)^96 ~ 5.4e-6; pairs at
+    >= 0.97 miss with < 1e-9); rescoring makes precision exactly 1.
 
     Round 6 (guide §1.2 step 1 — fix the algorithm before the plumbing):
     12-bit signatures put 20k random 64-dim vectors into ~4k buckets/table,
     yielding a 3.4M-pair candidate set at sf1.0 (~17% of ALL pairs) whose
-    exact rescore dominated the query. 16-bit signatures cut random-pair
-    collisions 16x (~0.2M candidates) while the qualifying-pair miss odds
-    stay negligible (above) — measured brute-force: the corpus has ZERO
-    pairs >= 0.95 at every probed sf, so the 0.9+ regime the tables are
-    tuned for is far from the data's ~0.5 cosine ceiling."""
+    exact rescore dominated the query. Longer signatures trade a linear
+    amount of (cheap, vectorized-matmul) signature work for a geometric cut
+    in random-pair collisions: 16 bits / 48 tables took the candidate set to
+    ~0.3M; 20 bits / 96 tables (final) to ~55k at the 10x scale — measured
+    full-query 3.48 -> 1.78 s — while the qualifying-pair miss odds IMPROVE
+    12x (derivation above, vs 6.6e-5 at 48x16) because doubled tables
+    out-multiply the per-table hit-rate loss. Brute-force ground truth: the
+    corpus has ZERO pairs >= 0.95 at every probed sf (the data's cosine
+    ceiling is ~0.5), so results are identical at any of these settings;
+    the planted >= 0.95 regime is covered by
+    test_embedding_dup_pair_settings_cover_planted_pairs."""
     from webcrawler_spark.operators.similarity import lsh_candidate_pairs
 
     # round 6: single-row-group input — repartition so the hyperplane
@@ -883,7 +913,8 @@ def q_embedding_dup_pairs(spark, sf_dir):
         load(spark, sf_dir, "embeddings").repartition(
             spark.sparkContext.defaultParallelism
         ),
-        n_bits=16,
+        n_tables=96,
+        n_bits=20,
     )
     # norms once per vector, not per candidate row (and the optimizer
     # pushes the cosine filter into the join condition, evaluating the
