@@ -3,7 +3,7 @@
 ``entry`` runs the flagship dedup-clusters query at sf0.001; ``queries`` /
 ``oracle_sql`` expose the operator registry from
 ``webcrawler_spark.plans.queries`` (SURVEY.md section 2 coverage — one entry
-per implemented operator; ALL 36 entries are DuckDB-checked, including the
+per implemented operator; ALL 39 entries are DuckDB-checked, including the
 flagship dedup path: clusters vs recursive-CTE components over brute-force
 SQL edges, MinHash near-dup pairs vs the all-pairs Jaccard set, substring
 pairs vs position() under the engine's stated preconditions, a

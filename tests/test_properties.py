@@ -131,3 +131,20 @@ def test_shingle_containment_property(data):
     big = H.shingle_hashes(H.token_hashes(toks, cache), 5)
     small = H.shingle_hashes(H.token_hashes(toks[i:j], cache), 5)
     assert set(small.tolist()) <= set(big.tolist())
+
+
+def test_entry_docstring_count_matches_registry():
+    """The driver-facing contract docstring's "ALL <n> entries" count must
+    track the registry — it went stale twice (36 at 39 entries; earlier 30
+    at 36). Self-derives: any registry growth without a docstring bump
+    fails here instead of shipping."""
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as e
+
+    m = re.search(r"ALL (\d+) entries", e.__doc__)
+    assert m, "entry docstring must state the checked-entry count"
+    assert int(m.group(1)) == len(e.queries()) == len(e.oracle_sql())
