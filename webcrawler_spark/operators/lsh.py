@@ -121,6 +121,7 @@ def anchor_candidates(
     sigs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     persisted_out: list[DataFrame] | None = None,
+    with_len: bool = False,
 ) -> DataFrame:
     """B8 candidates: docs sharing anchor shingles (hash % mod == 0).
 
@@ -135,6 +136,12 @@ def anchor_candidates(
     groupBy and the per-doc kept counts) would otherwise each re-run the
     explode + count-over-window subtree (round 6; same persisted_out
     unpersist convention as build_edges).
+
+    ``with_len=True`` threads ``sigs``' n_chars through the tier-1 join so
+    survivors come out as (a, b, len_a, len_b) — the substring pass's
+    length gate then costs ZERO pair-level joins (one scalar join on the
+    small per-doc kept set instead of two joins on the pair stream; the
+    same piggyback build_edges uses).
     """
     kept = _kept_anchor_stream(sigs, cfg).persist()
     if persisted_out is not None:
@@ -155,6 +162,8 @@ def anchor_candidates(
     )
     shared = pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("n_shared"))
     kept_counts = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    if with_len:
+        kept_counts = kept_counts.join(sigs.select("doc_id", "n_chars"), "doc_id")
     return _anchor_tier1(shared, kept_counts, cfg)
 
 

@@ -143,13 +143,23 @@ def verify_substring_pairs(gated: DataFrame, docs: DataFrame) -> DataFrame:
 def substring_edges(
     sigs: DataFrame, docs: DataFrame, cfg=None, persisted_out=None
 ) -> DataFrame:
-    """Anchor candidates -> exact-substring edges (kind='substring')."""
+    """Anchor candidates -> exact-substring edges (kind='substring').
+
+    Round 6: the length gate rides the tier-1 join (with_len=True — one
+    scalar join on the small per-doc kept set inside anchor_candidates)
+    instead of two pair-level joins against the signature meta afterwards;
+    the same piggyback build_edges uses. Same gated pair set."""
     from webcrawler_spark.config import DEFAULT_CONFIG
     from webcrawler_spark.operators.lsh import anchor_candidates
 
     cfg = cfg or DEFAULT_CONFIG
-    cand = anchor_candidates(sigs, cfg, persisted_out=persisted_out)
-    verdicts = substring_containment(cand, docs, meta=sigs)
+    cand = anchor_candidates(
+        sigs, cfg, persisted_out=persisted_out, with_len=True
+    )
+    gated = cand.filter(
+        (F.col("len_a") != F.col("len_b")) & (F.least("len_a", "len_b") > 0)
+    ).select("a", "b")
+    verdicts = verify_substring_pairs(gated, docs)
     return verdicts.filter(F.col("is_substring")).select(
         "a", "b", F.lit("substring").alias("kind")
     )
